@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local mode is the test bed; the config mirrors what we would submit with
+``spark-submit --py-files fog_spark.zip`` on a multi-executor cluster —
+AQE on (runtime re-plan + skew-join splitting), Arrow on (fast pandas UDF
+boundary), explicit shuffle-partition sizing (the analog of FOG's per-CPU
+update-strip sizing, /root/reference/headers/config.hpp:175-248).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fog_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores: local[N] parallelism; defaults to $SPARK_GRAFT_CPUS or '*'.
+    shuffle_partitions: defaults to max(2*cores, 8) — on a real cluster
+    use :func:`shuffle_partitions_for` to size from the edge count.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        ncores = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        ncores = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * ncores, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(ncores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("FOG_SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def shuffle_partitions_for(num_edges: int, rows_per_partition: int = 2_000_000) -> int:
+    """Size shuffle partitions from the graph scale.
+
+    The analog of FOG's segment/strip sizing (headers/config.hpp:200-248):
+    keep each shuffle partition's message volume bounded so gather state
+    fits in executor memory. At 10^12-doc scale (~4e12 edges) with the
+    default 2M rows/partition this yields ~2M partitions — cap per cluster
+    via the rows_per_partition knob instead.
+    """
+    return max(8, min(200_000, (num_edges + rows_per_partition - 1) // rows_per_partition))

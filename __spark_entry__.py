@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship link-graph query on sf0.001;
+``queries()`` exposes one DataFrame callable per implemented operator
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+
+Design notes for oracle exactness (the driver hash-compares values):
+- graph algorithms run on the deterministic orders-derived edge table
+  (FIXTURES.md F5): src=o_custkey, dst=o_orderkey%151 — identically
+  expressible in SQL.
+- iterative fixpoints use INTEGER milli-unit arithmetic (FogPageRankMilli,
+  milli SSSP weights, SpMV milli) so Spark and DuckDB agree bit-for-bit;
+  float PageRank's 1e-6 parity is covered by the pytest NumPy oracles.
+- text operators use md5-portable hashing and raw IEEE per-row doubles
+  (no ROUND: half-way rules differ across engines; raw per-row FP math
+  does not).
+- bounded-iteration semantics (sssp16, lpa5, bfs level<100) are pinned
+  identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +23,522 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------- SQL bits
+
+EDGES = (
+    "SELECT CAST(o_custkey AS BIGINT) AS src, CAST(o_orderkey % 151 AS BIGINT) AS dst, "
+    "1.0 + ((o_orderkey * 7 + o_custkey * 13) % 9000) / 1000.0 AS weight FROM orders"
+)
+EDGES_MILLI = (
+    "SELECT CAST(o_custkey AS BIGINT) AS src, CAST(o_orderkey % 151 AS BIGINT) AS dst, "
+    "CAST(1000 + ((o_orderkey * 7 + o_custkey * 13) % 9000) AS BIGINT) AS wm FROM orders"
+)
+VERTS = "SELECT src AS id FROM e UNION SELECT dst FROM e"
+TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+
+def _pagerank_milli_sql(niters: int, tail: str) -> str:
+    ctes = [
+        f"e AS ({EDGES})",
+        f"v AS ({VERTS})",
+        "d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_milli FROM v)",
+    ]
+    for k in range(1, niters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT p.id, CAST(p.rank_milli + COALESCE(m.s, 0) AS BIGINT) AS rank_milli "
+            f"FROM r{k-1} p LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM((850 * r.rank_milli) // (1000 * d.outdeg) + 150000) AS s "
+            f"FROM r{k-1} r JOIN d ON d.src = r.id JOIN e ON e.src = r.id GROUP BY e.dst"
+            f") m ON m.id = p.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\n{tail.replace('$LAST', f'r{niters}')}"
+
+
+def _sssp_milli_sql(rounds: int) -> str:
+    ctes = [
+        f"em AS ({EDGES_MILLI})",
+        "g AS (SELECT * FROM em WHERE src < dst)",
+        "d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"d{k} AS (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM ("
+            f"SELECT id, dist FROM d{k-1} "
+            f"UNION ALL SELECT g.dst, r.dist + g.wm FROM d{k-1} r JOIN g ON g.src = r.id"
+            f") GROUP BY id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, dist AS dist_milli FROM d{rounds}"
+    )
+
+
+def _lpa_sql(rounds: int) -> str:
+    ctes = [
+        f"e AS ({EDGES})",
+        "und AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM e WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM e WHERE src <> dst))",
+        f"v AS ({VERTS})",
+        "l0 AS (SELECT id, CAST(id AS BIGINT) AS label FROM v)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"l{k} AS (SELECT base.id, CAST(COALESCE(w.new_label, base.label) AS BIGINT) AS label "
+            f"FROM l{k-1} base LEFT JOIN ("
+            f"SELECT dst, new_label FROM ("
+            f"SELECT c.dst, c.label AS new_label, "
+            f"ROW_NUMBER() OVER (PARTITION BY c.dst ORDER BY c.cnt DESC, c.label ASC) AS rn "
+            f"FROM (SELECT u.dst, p.label, COUNT(*) AS cnt FROM und u "
+            f"JOIN l{k-1} p ON p.id = u.src GROUP BY u.dst, p.label) c"
+            f") rr WHERE rn = 1) w ON w.dst = base.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
+
+
+# ------------------------------------------------------------ spark helpers
+
+_STATE_CACHE: dict = {}
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fog_spark.sources.tables import edges_from_orders
+
+    return edges_from_orders(spark, sf_dir)
+
+
+def _edges_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fog_spark.hashing import pmod
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        pmod(F.col("o_orderkey").cast("long"), F.lit(151)).alias("dst"),
+        (1000 + pmod(F.col("o_orderkey") * 7 + F.col("o_custkey") * 13, F.lit(9000)))
+        .cast("double")
+        .alias("weight"),
+    )
+
+
+def _engine(spark: SparkSession):
+    from fog_spark.plans.engine import ScatterGatherEngine
+
+    return ScatterGatherEngine(spark, checkpoint_dir=None, collect_lineage=False)
+
+
+def _pagerank_milli_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("prm", sf_dir)
+    if key not in _STATE_CACHE:
+        from fog_spark.algos import FogPageRankMilli
+
+        res = _engine(spark).run(FogPageRankMilli(niters=10), _edges(spark, sf_dir))
+        _STATE_CACHE[key] = res.state.select("id", "rank_milli")
+    return _STATE_CACHE[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ------------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: orders-derived link graph -> 10 engine iterations of the
+    FOG PageRank recurrence (integer milli twin) with per-iteration
+    checkpoints + lineage -> top-20 ranks."""
+    import tempfile
 
+    from fog_spark.algos import FogPageRankMilli
+    from fog_spark.plans.engine import ScatterGatherEngine
+
+    ckpt = tempfile.mkdtemp(prefix="fog_spark_entry_")
+    eng = ScatterGatherEngine(spark, checkpoint_dir=ckpt)
+    res = eng.run(FogPageRankMilli(niters=10), _edges(spark, SF_SMOKE), run_id="entry")
+    return (
+        res.state.select("id", "rank_milli")
+        .orderBy(F.col("rank_milli").desc(), F.col("id"))
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fog_spark import graph as G
+    from fog_spark.algos import (
+        BFS,
+        SSSP,
+        ConnectedComponents,
+        LabelPropagation,
+        spmv,
+        triangles,
+    )
+    from fog_spark.functions.extract import extract_text_col
+    from fog_spark.operators.dedup import exact_dedup, minhash_md5_candidates, ngram_jaccard_pairs
+    from fog_spark.operators.similarity import cosine_topk
+    from fog_spark.operators.text import (
+        doc_fingerprint_portable,
+        lang_id,
+        quality_features,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def graph_stats(spark, sf):
+        s = G.graph_stats(_edges(spark, sf))
+        return spark.createDataFrame(
+            [(s["min_vertex_id"], s["max_vertex_id"], s["num_edges"], s["max_out_edges"])],
+            "min_vertex_id long, max_vertex_id long, num_edges long, max_out_edges long",
+        )
 
+    def out_degrees(spark, sf):
+        return G.out_degrees(_edges(spark, sf))
+
+    def in_degrees(spark, sf):
+        return G.in_degrees(_edges(spark, sf))
+
+    def adjacency_csr(spark, sf):
+        adj = G.build_adjacency(_edges(spark, sf), hub_cap=None)
+        return adj.select(
+            "src",
+            "outdeg",
+            F.array_join(
+                F.transform(F.sort_array("dsts"), lambda d: d.cast("string")), ","
+            ).alias("dsts_csv"),
+        )
+
+    def spmv_milli(spark, sf):
+        y = spmv(_edges_milli(spark, sf))
+        return y.select("id", F.col("y").cast("long").alias("y_milli"))
+
+    def pagerank_fog10_milli(spark, sf):
+        return _pagerank_milli_state(spark, sf)
+
+    def top_pagerank(spark, sf):
+        return (
+            _pagerank_milli_state(spark, sf)
+            .orderBy(F.col("rank_milli").desc(), F.col("id"))
+            .limit(10)
+        )
+
+    def connected_components(spark, sf):
+        res = _engine(spark).run(ConnectedComponents(), _edges(spark, sf))
+        return res.state.select("id", "component")
+
+    def num_components(spark, sf):
+        res = _engine(spark).run(ConnectedComponents(), _edges(spark, sf))
+        return res.state.agg(F.countDistinct("component").alias("n_components"))
+
+    def bfs_levels(spark, sf):
+        res = _engine(spark).run(BFS(root=0), _edges(spark, sf))
+        return res.state.where(F.col("level") < (1 << 62)).select("id", "level")
+
+    def sssp16_milli(spark, sf):
+        e = _edges_milli(spark, sf).where(F.col("src") < F.col("dst"))
+        res = _engine(spark).run(SSSP(source=0), e, max_iters=16)
+        return res.state.where(F.col("dist") != float("inf")).select(
+            "id", F.col("dist").cast("long").alias("dist_milli")
+        )
+
+    def lpa5_labels(spark, sf):
+        res = _engine(spark).run(LabelPropagation(max_iters=5), _edges(spark, sf))
+        return res.state.select("id", "label")
+
+    def triangle_count_q(spark, sf):
+        return triangles(_edges(spark, sf)).agg(
+            F.count("*").cast("long").alias("n_triangles")
+        )
+
+    def extract_roundtrip(spark, sf):
+        d = _docs(spark, sf)
+        html = F.concat(
+            F.lit("<html><head><title>doc</title></head><body>"),
+            F.col("text"),
+            F.lit('<a href="https://x/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">t</a></body></html>'),
+        )
+        extracted = extract_text_col(F.encode(html, "UTF-8"))
+        return d.select(
+            "doc_id",
+            (extracted == F.col("text")).alias("ok"),
+            F.length(extracted).cast("long").alias("extracted_len"),
+        )
+
+    def doc_stats(spark, sf):
+        q = quality_features(_docs(spark, sf))
+        return q.select(
+            "id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "mean_token_len",
+            "alpha_ratio",
+            "punct_ratio",
+            "stopword_ratio",
+            "quality_score",
+        )
+
+    def lang_id_q(spark, sf):
+        return lang_id(_docs(spark, sf))
+
+    def dedup_exact_md5(spark, sf):
+        return exact_dedup(_docs(spark, sf), hash_fn="md5")
+
+    def fingerprints(spark, sf):
+        return doc_fingerprint_portable(_docs(spark, sf))
+
+    def minhash_candidates(spark, sf):
+        return minhash_md5_candidates(_docs(spark, sf), num_hashes=8, bands=4, shingle_n=3)
+
+    def jaccard_pairs(spark, sf):
+        return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2, shingle_n=3)
+
+    def cosine_topk_ids(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        probes = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        return cosine_topk(emb, probes, k=5).select(
+            "probe_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+
+    def user_event_stats(spark, sf):
+        from pyspark.sql import Window as W
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+        w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+        top = (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias("top_event_id"))
+        )
+        agg = ev.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("sum_value_cents"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        return agg.join(top, "user_id")
+
+    def segment_revenue(spark, sf):
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        return (
+            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"), F.sum(cents).alias("revenue_cents"))
+        )
+
+    return {
+        "graph_stats": graph_stats,
+        "out_degrees": out_degrees,
+        "in_degrees": in_degrees,
+        "adjacency_csr": adjacency_csr,
+        "spmv_milli": spmv_milli,
+        "pagerank_fog10_milli": pagerank_fog10_milli,
+        "top_pagerank": top_pagerank,
+        "connected_components": connected_components,
+        "num_components": num_components,
+        "bfs_levels": bfs_levels,
+        "sssp16_milli": sssp16_milli,
+        "lpa5_labels": lpa5_labels,
+        "triangle_count": triangle_count_q,
+        "extract_roundtrip": extract_roundtrip,
+        "doc_stats": doc_stats,
+        "lang_id": lang_id_q,
+        "dedup_exact_md5": dedup_exact_md5,
+        "fingerprints": fingerprints,
+        "minhash_candidates": minhash_candidates,
+        "jaccard_pairs": jaccard_pairs,
+        "cosine_topk_ids": cosine_topk_ids,
+        "user_event_stats": user_event_stats,
+        "segment_revenue": segment_revenue,
+    }
+
+
+# ------------------------------------------------------------- oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = {
+        "de": "['der','die','das','und','ist','nicht','ein','mit','auf','von']",
+        "en": "['the','and','of','to','in','is','that','it','for','was']",
+        "es": "['el','la','los','que','de','es','en','un','por','con']",
+        "fr": "['le','la','les','et','est','pas','une','des','dans','pour']",
+    }
+    shingles = (
+        "list_distinct([array_to_string(toks[i:i+2], ' ') "
+        "for i in range(1, len(toks) - 1)])"
+    )
+    quality = f"""
+WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+b AS (SELECT doc_id,
+  length(text) AS n_chars,
+  len(toks) AS n_tokens,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+  len(list_filter(toks, x -> list_contains({stop['en']}, x))) AS stop_hits
+FROM t),
+r AS (SELECT doc_id, n_chars, n_tokens,
+  CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS mean_token_len,
+  CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+  CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+  CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END AS stopword_ratio
+FROM b)
+SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+  mean_token_len, alpha_ratio, punct_ratio, stopword_ratio,
+  LEAST(n_tokens / 100.0, 1.0) * 0.4 + alpha_ratio * 0.3
+    + LEAST(stopword_ratio * 5.0, 1.0) * 0.2
+    + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.1 AS quality_score
+FROM r"""
+
+    return {
+        "graph_stats": f"""
+WITH e AS ({EDGES}), d AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src)
+SELECT (SELECT MIN(LEAST(src, dst)) FROM e) AS min_vertex_id,
+       (SELECT MAX(GREATEST(src, dst)) FROM e) AS max_vertex_id,
+       (SELECT COUNT(*) FROM e) AS num_edges,
+       (SELECT CAST(MAX(c) AS BIGINT) FROM d) AS max_out_edges""",
+        "out_degrees": f"WITH e AS ({EDGES}) SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src",
+        "in_degrees": f"WITH e AS ({EDGES}) SELECT dst AS id, COUNT(*) AS indeg FROM e GROUP BY dst",
+        "adjacency_csr": f"""
+WITH e AS ({EDGES})
+SELECT src, COUNT(*) AS outdeg,
+       string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS dsts_csv
+FROM e GROUP BY src""",
+        "spmv_milli": f"WITH em AS ({EDGES_MILLI}) SELECT dst AS id, CAST(SUM(wm) AS BIGINT) AS y_milli FROM em GROUP BY dst",
+        "pagerank_fog10_milli": _pagerank_milli_sql(10, "SELECT id, rank_milli FROM $LAST"),
+        "top_pagerank": _pagerank_milli_sql(
+            10, "SELECT id, rank_milli FROM $LAST ORDER BY rank_milli DESC, id ASC LIMIT 10"
+        ),
+        "connected_components": f"""
+WITH RECURSIVE e AS ({EDGES}),
+und AS (SELECT src, dst FROM e WHERE src <> dst UNION SELECT dst, src FROM e WHERE src <> dst),
+v AS ({VERTS}),
+reach(id, lbl) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id
+)
+SELECT id, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY id""",
+        "num_components": f"""
+WITH RECURSIVE e AS ({EDGES}),
+und AS (SELECT src, dst FROM e WHERE src <> dst UNION SELECT dst, src FROM e WHERE src <> dst),
+v AS ({VERTS}),
+reach(id, lbl) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+SELECT CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components FROM comp""",
+        "bfs_levels": f"""
+WITH RECURSIVE e AS ({EDGES}),
+g AS (SELECT src, dst FROM e WHERE src <> dst),
+reach(id, lvl) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT g.dst, r.lvl + 1 FROM reach r JOIN g ON g.src = r.id WHERE r.lvl < 100
+)
+SELECT id, CAST(MIN(lvl) AS BIGINT) AS level FROM reach GROUP BY id""",
+        "sssp16_milli": _sssp_milli_sql(16),
+        "lpa5_labels": _lpa_sql(5),
+        "triangle_count": f"""
+WITH e AS ({EDGES}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM und e1 JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        "extract_roundtrip": r"""
+WITH h AS (
+  SELECT doc_id, text,
+    '<html><head><title>doc</title></head><body>' || text ||
+    '<a href="https://x/' || CAST(doc_id AS VARCHAR) || '">t</a></body></html>' AS html
+  FROM documents)
+SELECT doc_id,
+  regexp_extract(html, '<body>(.*?)(?:<a href=|</body>)', 1) = text AS ok,
+  CAST(length(regexp_extract(html, '<body>(.*?)(?:<a href=|</body>)', 1)) AS BIGINT) AS extracted_len
+FROM h""",
+        "doc_stats": quality,
+        "lang_id": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+h AS (SELECT doc_id,
+  len(list_filter(toks, x -> list_contains({stop['de']}, x))) AS h_de,
+  len(list_filter(toks, x -> list_contains({stop['en']}, x))) AS h_en,
+  len(list_filter(toks, x -> list_contains({stop['es']}, x))) AS h_es,
+  len(list_filter(toks, x -> list_contains({stop['fr']}, x))) AS h_fr
+FROM t)
+SELECT doc_id AS id,
+  CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM h""",
+        "dedup_exact_md5": """
+SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY 1""",
+        "fingerprints": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id AS id,
+  CAST(COALESCE(list_sum(
+    [i * (CAST('0x' || substr(md5(toks[i]), 1, 12) AS BIGINT) % 1000000000000)
+     for i in range(1, len(toks) + 1)]), 0) AS BIGINT) AS fingerprint
+FROM t""",
+        "minhash_candidates": f"""
+WITH t0 AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, {shingles} AS sh FROM t0 WHERE len(toks) >= 3),
+sig AS (SELECT doc_id,
+  [list_aggregate(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ' ' || s)), 'min')
+   for i in range(0, 8)] AS mhs FROM t),
+bands AS (
+  SELECT doc_id, band, md5(mhs[band * 2 + 1] || '|' || mhs[band * 2 + 2]) AS bh
+  FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""",
+        "jaccard_pairs": f"""
+WITH t0 AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, {shingles} AS sh FROM t0 WHERE len(toks) >= 3),
+ex AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, n / (sa.sz + sb.sz - n) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE n / (sa.sz + sb.sz - n) >= 0.2""",
+        "cosine_topk_ids": """
+WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id < 5),
+s AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+        list_dot_product(c.embedding::DOUBLE[], p.pe)
+        / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(p.pe, p.pe))) AS cos
+      FROM embeddings c, p WHERE c.vec_id <> p.probe_id),
+r AS (SELECT probe_id, neighbor_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM s)
+SELECT probe_id, neighbor_id, rank FROM r WHERE rank <= 5""",
+        "user_event_stats": """
+WITH top AS (
+  SELECT user_id, event_id AS top_event_id FROM (
+    SELECT user_id, event_id,
+      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+    FROM events) WHERE rn = 1),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events GROUP BY user_id)
+SELECT agg.user_id, n_events, sum_value_cents, n_types, top_event_id
+FROM agg JOIN top ON top.user_id = agg.user_id""",
+        "segment_revenue": """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+    }

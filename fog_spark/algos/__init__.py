@@ -1,0 +1,6 @@
+from fog_spark.algos.pagerank import FogPageRank, FogPageRankMilli, StandardPageRank  # noqa: F401
+from fog_spark.algos.components import ConnectedComponents  # noqa: F401
+from fog_spark.algos.lpa import LabelPropagation  # noqa: F401
+from fog_spark.algos.traversal import BFS, SSSP  # noqa: F401
+from fog_spark.algos.spmv import spmv  # noqa: F401
+from fog_spark.algos.triangles import triangle_count, triangles  # noqa: F401

@@ -1,0 +1,71 @@
+"""Triangle counting (north_rule N2 — future work in the reference,
+/root/reference/TODO.list:16-21).
+
+Undirected distinct-edge triangles, each counted once via canonical
+orientation a<b<c: two shuffle joins over the deduped canonical edge set.
+At web scale the first join's output (wedges) dominates — the canonical
+a<b orientation already halves it, and the standard degree-ordering trick
+(orient from lower- to higher-degree endpoint) is applied to bound wedge
+counts at hub vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fog_spark.graph import normalize_edges
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    e = normalize_edges(edges).select("src", "dst").where(F.col("src") != F.col("dst"))
+    return e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+
+
+def triangles(edges: DataFrame, degree_order: bool = True) -> DataFrame:
+    """(a, b, c) rows, one per triangle, a<b<c."""
+    und = _canonical_undirected(edges)
+    if degree_order:
+        # orient each edge from the lower-(degree, id) endpoint to the
+        # higher one: every vertex's oriented out-degree is O(sqrt(m)),
+        # so hub wedges never explode (standard node-iterator++).
+        deg = (
+            und.select(F.col("a").alias("v")).unionAll(und.select(F.col("b").alias("v")))
+            .groupBy("v").agg(F.count("*").alias("d"))
+        )
+        da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+        db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+        ed = und.join(da, "a").join(db, "b")
+        lower_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        oriented = ed.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+        w1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("q1"))
+        w2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("q2"))
+        wedges = w1.join(w2, "p").where(F.col("q1") < F.col("q2"))
+        closed = wedges.join(
+            und,
+            (F.least("q1", "q2") == und["a"]) & (F.greatest("q1", "q2") == und["b"]),
+            "left_semi",
+        )
+        return closed.select(
+            F.least("p", "q1", "q2").alias("a"),
+            F.expr("array_sort(array(p, q1, q2))[1]").alias("b"),
+            F.greatest("p", "q1", "q2").alias("c"),
+        )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    closed = wedges.join(
+        und, (wedges["x"] == und["a"]) & (wedges["z"] == und["b"]), "left_semi"
+    )
+    return closed.select(F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c"))
+
+
+def triangle_count(edges: DataFrame, degree_order: bool = True) -> int:
+    return triangles(edges, degree_order=degree_order).count()

@@ -1,0 +1,8 @@
+from fog_spark.functions.extract import (  # noqa: F401
+    extract_text_col,
+    extract_outlinks_col,
+    extract_pages_udf,
+    edges_from_pages,
+    assign_dense_ids,
+    fixture_page_ids,
+)

@@ -1,0 +1,158 @@
+"""Edge-table -> adjacency builders: the Spark analog of FOG's binary CSR.
+
+FOG stores out-edges src-sorted in ``.edge`` with per-vid offsets in
+``.index`` (/root/reference/convert/convert.cpp:12-29) and an optional
+dst-sorted in-edge CSR built by radix sort + k-way external merge
+(/root/reference/convert/process_in_edge.cpp:142-378, k_way_merge.cpp:420-505).
+Here the grouped-adjacency DataFrame ``(src, salt, outdeg, dsts)`` plays the
+CSR role: one row per (src, chunk), dsts as array<long>; Spark's shuffle
+ExternalSorter replaces the hand-written radix sort/merge, and
+``repartitionByRange(src).sortWithinPartitions(src)`` reproduces the
+src-sorted physical layout when persisting.
+
+Hub-vertex skew (the straggler problem FOG attacks with work stealing,
+fog_engine.cpp:819-1011) is handled structurally: sources whose out-degree
+exceeds ``hub_cap`` are split into multiple salted rows, so no single task
+materializes or explodes a 10^8-edge adjacency row. Gather (groupBy(dst))
+is unaffected — message aggregates are associative — and map-side partial
+aggregation plus AQE skew handling bound the reduce side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fog_spark.hashing import pmod
+
+DEFAULT_HUB_CAP = 100_000
+
+
+def normalize_edges(edges: DataFrame) -> DataFrame:
+    """Coerce to (src:long, dst:long[, weight:double])."""
+    cols = [F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")]
+    if "weight" in edges.columns:
+        cols.append(F.col("weight").cast("double").alias("weight"))
+    return edges.select(*cols)
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(id, outdeg) — only vertices with >=1 out-edge (FOG: offset 0 means
+    no out-edges, index_vert_array.cpp:180)."""
+    return edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg"))
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("indeg"))
+
+
+def vertex_ids(edges: DataFrame) -> DataFrame:
+    """(id) — all vertices appearing as src or dst."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Distinct undirected neighbor pairs, self-loops dropped — the edge set
+    CC/LPA traverse. FOG's TARGET engine gets the same effect by running
+    forward over out-edges then backward over in-edges while skipping
+    self-loops (cpu_thread.cpp:235-239, 258-281; cc.hpp:84-105)."""
+    e = edges.select("src", "dst")
+    return (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def build_adjacency(
+    edges: DataFrame,
+    hub_cap: int | None = DEFAULT_HUB_CAP,
+    with_weights: bool = False,
+) -> DataFrame:
+    """Grouped adjacency (src, salt, outdeg, dsts[, weights]).
+
+    ``outdeg`` is the TOTAL out-degree of src (scatter needs it for
+    rank/outdeg regardless of chunking — FOG passes it to
+    scatter_one_edge the same way, cpu_thread.cpp:509-513). ``salt``
+    chunks hubs: rows with outdeg > hub_cap are split by hashing dst into
+    ceil(outdeg/hub_cap) buckets. Exactly one shuffle when unweighted
+    (groupBy src) plus one degree join resolved map-side by AQE when the
+    degree table is broadcastable.
+    """
+    e = normalize_edges(edges)
+    deg = out_degrees(e).withColumnRenamed("id", "src")
+    e = e.join(deg, "src")
+    if hub_cap is None:
+        salt = F.lit(0)
+    else:
+        nchunks = F.ceil(F.col("outdeg") / F.lit(hub_cap)).cast("long")
+        salt = F.when(nchunks <= 1, F.lit(0)).otherwise(
+            pmod(F.xxhash64(F.col("dst")), nchunks)
+        )
+    e = e.withColumn("salt", salt.cast("int"))
+    aggs = [F.count("*").alias("chunk_size"), F.collect_list("dst").alias("dsts")]
+    if with_weights and "weight" in e.columns:
+        # zip dst+weight so the two arrays stay aligned
+        aggs = [
+            F.count("*").alias("chunk_size"),
+            F.collect_list(F.struct("dst", "weight")).alias("_dw"),
+        ]
+        out = e.groupBy("src", "salt", "outdeg").agg(*aggs)
+        return out.select(
+            "src",
+            "salt",
+            "outdeg",
+            F.col("_dw.dst").alias("dsts"),
+            F.col("_dw.weight").alias("weights"),
+        )
+    out = e.groupBy("src", "salt", "outdeg").agg(*aggs)
+    return out.select("src", "salt", "outdeg", "dsts")
+
+
+def build_in_adjacency(edges: DataFrame, hub_cap: int | None = DEFAULT_HUB_CAP) -> DataFrame:
+    """In-edge adjacency (dst-grouped) — FOG's .in-index/.in-edge analog.
+    In-edges carry no weight, matching headers/types.hpp:27-33."""
+    flipped = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        build_adjacency(flipped, hub_cap=hub_cap)
+        .withColumnRenamed("src", "dst_id")
+        .withColumnRenamed("outdeg", "indeg")
+        .withColumnRenamed("dsts", "srcs")
+        .withColumnRenamed("dst_id", "dst")
+    )
+
+
+def graph_stats(edges: DataFrame) -> dict:
+    """The .desc analog (/root/reference/convert/convert.cpp:139-148):
+    min/max vid, edge count, max out-degree — one pass + one degree agg."""
+    e = normalize_edges(edges)
+    base = e.agg(
+        F.min(F.least("src", "dst")).alias("min_vertex_id"),
+        F.max(F.greatest("src", "dst")).alias("max_vertex_id"),
+        F.count("*").alias("num_edges"),
+    ).collect()[0]
+    maxdeg = out_degrees(e).agg(F.max("outdeg").alias("m")).collect()[0]["m"]
+    return {
+        "min_vertex_id": base["min_vertex_id"],
+        "max_vertex_id": base["max_vertex_id"],
+        "num_edges": base["num_edges"],
+        "max_out_edges": maxdeg,
+    }
+
+
+def write_edges_sorted(edges: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Persist the edge table src-sorted + range-partitioned — the physical
+    layout FOG's converter produces (src-sorted .edge file,
+    process_edgelist.cpp:118-126). Range partitioning keeps vid locality so
+    downstream scatter joins co-locate; on a cluster this would be an
+    Iceberg table with a bucket(src) partition spec."""
+    e = normalize_edges(edges)
+    if partitions:
+        e = e.repartitionByRange(partitions, "src")
+    else:
+        e = e.repartitionByRange("src")
+    e.sortWithinPartitions("src", "dst").write.mode("overwrite").parquet(path)

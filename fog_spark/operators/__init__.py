@@ -1,0 +1,17 @@
+from fog_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+    shingle_col,
+    tokenize_col,
+)
+from fog_spark.operators.similarity import cosine_topk, lsh_ann_topk  # noqa: F401
+from fog_spark.operators.text import (  # noqa: F401
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    token_count_col,
+)

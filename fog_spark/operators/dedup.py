@@ -1,0 +1,244 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference (FOG has no text pipeline) but first-class for the
+100 TB use case: exact dedup, MinHash+LSH, SimHash, n-gram Jaccard.
+Everything is native Column expressions — hashing via xxhash64 (JVM,
+codegen'd), shingling via higher-order array functions; no Python UDFs.
+
+Scale notes:
+- exact dedup: one shuffle (groupBy hash), map-side combine.
+- minhash: k permutations computed as k affine transforms of ONE base
+  shingle hash, aggregated as k min() columns in a single groupBy —
+  one shuffle of (doc, hash) pairs, not k shuffles.
+- LSH banding: candidates = self-join on (band_id, band_hash) buckets;
+  bucket sizes are bounded in practice, and the join is an equi-join so
+  AQE's skew-join splitting handles pathological buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fog_spark.hashing import pmod
+
+# Mersenne prime 2^61-1: affine minhash family (a*h+b) mod p stays
+# collision-free-ish and fits in a long without overflow after pmod.
+_MERSENNE61 = (1 << 61) - 1
+
+
+def tokenize_col(text: Column) -> Column:
+    """Lowercased word tokens (letters+digits runs) — array<string>."""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: F.length(t) > 0
+    )
+
+
+def shingle_col(text: Column, n: int = 3) -> Column:
+    """n-gram word shingles as strings — array<string>, empty-safe."""
+    toks = tokenize_col(text)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.when(count > 0, F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(text_hash, keep_id, dup_count): smallest id survives per exact text.
+    hash_fn 'xxhash64' (fast, default) or 'md5' (portable to SQL oracles)."""
+    h = F.xxhash64(F.col(text_col)) if hash_fn == "xxhash64" else F.md5(F.col(text_col))
+    return (
+        docs.select(h.alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def _affine_hashes(base: Column, num_hashes: int) -> list[Column]:
+    """k pairwise-independent-ish hash transforms of one base hash.
+    Coefficients are fixed odd constants (hash-derived at import would be
+    equivalent; constants keep the SQL oracle expressible)."""
+    cols = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = 1_000_003 * (i + 1)
+        cols.append(pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE61)).alias(f"mh_{i}"))
+    return cols
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) — one shuffle: explode distinct shingles,
+    hash once, take k affine mins in a single groupBy."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingle_col(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    base = pmod(F.xxhash64(F.col("sh")), F.lit(_MERSENNE61))
+    hashed = sh.select("id", *_affine_hashes(base, num_hashes))
+    return hashed.groupBy("id").agg(
+        *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.xxhash64(*cols).alias(f"band_{b}"))
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    left = stacked.select(F.col("id").alias("id_a"), "band", "bh")
+    right = stacked.select(F.col("id").alias("id_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_md5_candidates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH candidates with an md5-string hash family — slower than
+    the xxhash64 version but bit-portable to any SQL engine (the driver's
+    DuckDB oracle reproduces it exactly). Signatures are computed per-row
+    with array_min/transform: zero shuffles until the band self-join."""
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sh = F.array_distinct(shingle_col(F.col(text_col), shingle_n))
+    mh = [
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i} "), s)))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = docs.where(F.size(sh) > 0).select(F.col(id_col).alias("id"), *mh)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rpb + r}") for r in range(rpb)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    left = stacked.select(F.col("id").alias("id_a"), "band", "bh")
+    right = stacked.select(F.col("id").alias("id_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, text_col: str = "text",
+    id_col: str = "doc_id", shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing >=1 shingle:
+    (id_a, id_b, jaccard). The shingle self-join IS the candidate filter —
+    disjoint docs never meet."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingle_col(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.select(F.col("id").alias("id_a"), "sh")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """(id, simhash:long) — 64-bit SimHash over token hashes, weighted by
+    token frequency; all bit arithmetic JVM-side."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize_col(F.col(text_col))).alias("tok"),
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("w"))
+    h = F.xxhash64(F.col("tok"))
+    # per (id, tok): contribution vector of +/- w per bit, summed per id
+    bit_aggs = []
+    for b in range(bits):
+        bit_set = F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+        bit_aggs.append(
+            F.sum(F.when(bit_set, F.col("w")).otherwise(-F.col("w"))).alias(f"s_{b}")
+        )
+    sums = tf.groupBy("id").agg(*bit_aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).cast("long") * F.lit(1 << b).cast("long") if b < 63 else \
+            F.when(F.col(f"s_{b}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Candidate pairs with hamming(simhash) <= max_hamming, found via
+    4x16-bit chunk banding (a pair within distance 3 shares >=1 exact
+    chunk), then exact popcount verification."""
+    sig = simhash(docs, **kw)
+    chunks = sig.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            )
+            for c in range(4)
+        ])).alias("e"),
+    ).select("id", "simhash", "e.chunk", "e.cv")
+    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "cv")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "cv")
+    cand = (
+        a.join(b, ["chunk", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

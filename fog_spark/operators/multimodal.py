@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The decode step is STUBBED (no image/audio libs in this container): with
+``fake=True`` a deterministic hash-derived feature vector stands in for
+the real decoder, keeping the Spark-side contract — schema, partitioning,
+UDF signature, Arrow batch shape — real and tested. Swap ``_decode_real``
+for a PIL/ffmpeg call on a cluster with the libs installed; nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests: payload = hash-derived
+    bytes, metadata plausible per kind."""
+    kinds = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.encode(
+        F.concat(F.lit("blob:"), F.sha2(F.col("id").cast("string"), 256)), "UTF-8"
+    )
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        kinds.alias("kind"),
+        payload.alias("payload"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1920)) + 16).cast("int").alias("width"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(1080)) + 16).cast("int").alias("height"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(60000))).cast("int").alias("duration_ms"),
+    )
+
+
+def _decode_real(payload: bytes, kind: str) -> np.ndarray:
+    raise NotImplementedError(
+        "real decode requires image/audio libraries not present in this "
+        "container; run with fake=True or install PIL/ffmpeg on the cluster"
+    )
+
+
+def _decode_fake(batch: pd.Series) -> np.ndarray:
+    """Deterministic stand-in: FEATURE_DIM floats derived from payload
+    bytes via numpy (vectorized per Arrow batch, no per-row Python hash)."""
+    arr = np.zeros((len(batch), FEATURE_DIM), dtype=np.float32)
+    for i, b in enumerate(batch):  # bounded by Arrow batch size
+        raw = np.frombuffer(bytes(b), dtype=np.uint8)
+        chunks = np.resize(raw.astype(np.float32), FEATURE_DIM)
+        arr[i] = chunks / 255.0
+    return arr
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """(media_id, kind, n_bytes, feature[FEATURE_DIM]) via mapInPandas —
+    the decode/feature-extract stage of a multimodal pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if fake:
+                feats = _decode_fake(pdf["payload"])
+            else:
+                feats = np.stack(
+                    [_decode_real(bytes(p), k) for p, k in zip(pdf["payload"], pdf["kind"])]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "feature": list(feats),
+                }
+            )
+
+    return media.mapInPandas(run, _FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one row per planned frame
+    (media_id, frame_idx, ts_ms) — pure Column math, the decoder-side
+    (actual frame grab) plugs into extract_features."""
+    v = media.where(F.col("kind") == "video")
+    nframes = F.greatest((F.col("duration_ms") / every_ms).cast("int"), F.lit(1))
+    return v.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), nframes - 1)).alias("frame_idx"),
+    ).select("media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("ts_ms"))

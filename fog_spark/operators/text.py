@@ -1,0 +1,124 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All native Column expressions (codegen'd); the
+heuristics are deliberately simple + deterministic so DuckDB oracles can
+reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fog_spark.hashing import pmod
+from fog_spark.operators.dedup import tokenize_col
+
+# tiny per-language stopword lists — enough signal for a heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "dans", "pour"],
+    "es": ["el", "la", "los", "que", "de", "es", "en", "un", "por", "con"],
+}
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace-ish token count (letters+digits runs)."""
+    return F.size(tokenize_col(text))
+
+
+def bpe_ish_piece_count(text: Column) -> Column:
+    """Crude BPE-like subword proxy: count of maximal runs matching
+    letters | digits | single non-space symbol — a stable upper-ish bound
+    on tokenizer pieces, cheap enough for 100 TB scans."""
+    pieces = F.filter(
+        F.split(text, r"\s+"), lambda t: F.length(t) > 0
+    )
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("int"),
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars, n_tokens, mean_token_len, alpha_ratio, punct_ratio,
+    stopword_ratio, quality_score) — classic cheap quality signals."""
+    t = F.col(text_col)
+    toks = tokenize_col(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en_stop, x)))
+    mean_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.2
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.1
+    )
+    # raw doubles on purpose: per-row IEEE arithmetic is bit-identical
+    # across engines (unlike ROUND, whose half-way rule differs), so the
+    # DuckDB oracle matches exactly.
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, lang_pred): stopword-hit argmax across languages, ties broken
+    by language code order; 'und' when nothing matches."""
+    toks = tokenize_col(F.col(text_col))
+    # max over (hits, -alpha_index) -> ties pick the alphabetically first
+    entries = []
+    for i, lang in enumerate(sorted(STOPWORDS)):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+        entries.append(F.struct(hits.alias("hits"), F.lit(-i).alias("ni"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*entries))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fingerprint): order-sensitive rolling (polynomial) hash over
+    token hashes — a cheap content fingerprint stable across storage
+    layout. fp = fold(tokens, acc -> (acc*31 + pmod(xxhash64(tok), 1e15)) % 1e15)."""
+    toks = tokenize_col(F.col(text_col))
+    mod = F.lit(1_000_000_000_000_007)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: pmod(acc * 31 + pmod(F.xxhash64(t), F.lit(10**15)), mod),
+    )
+    return docs.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+
+
+def doc_fingerprint_portable(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive position-weighted fingerprint, portable to SQL
+    oracles: fp = sum over tokens of i * (hex2int(md5(tok)[0:12]) % 1e12),
+    i = 1-based position. Pure long arithmetic, per-row, no shuffle."""
+    toks = tokenize_col(F.col(text_col))
+    tok_h = lambda t: pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+        F.lit(1_000_000_000_000),
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)))
+    weighted = F.when(F.size(toks) > 0, F.zip_with(
+        toks, F.slice(idx, 1, F.size(toks)), lambda t, i: i.cast("long") * tok_h(t)
+    )).otherwise(F.array().cast("array<bigint>"))
+    fp = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+    return docs.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))

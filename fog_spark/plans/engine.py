@@ -1,0 +1,256 @@
+"""The iterative scatter-gather driver — FOG's engine loop, Spark-first.
+
+Reference analog: ``fog_engine::operator()()``
+(/root/reference/fogsrc/fog_engine.cpp:92-244): init -> (scatter -> gather)*
+until the vertex program says stop. Here every phase is one declarative
+DataFrame plan per iteration:
+
+- **scatter** (E3/E4): ``active_state ⨝ adj on src -> explode(dsts)`` —
+  Catalyst picks broadcast-hash when the frontier is small (the engine
+  hints it explicitly, mirroring FOG's TARGET-vs-GLOBAL split,
+  fog_engine.hpp:35-40) and sort-merge otherwise.
+- **gather** (E5/E6): ``messages.groupBy(dst).agg(...)`` — Spark's
+  partial+final hash aggregation replaces FOG's per-CPU update strips and
+  race-free per-partition drain (cpu_thread.cpp:284-321, 607-657); the
+  shuffle spills automatically, so FOG's buffer-full sub-iterations (E7)
+  disappear.
+- **apply + frontier** (E10): left join of state with aggregates; the
+  next frontier is exactly the changed rows (``_active``), the analog of
+  add_schedule into the next-phase bitmap (fog_engine.cpp:2122-2174).
+- **checkpoint/lineage/resume** (north_rule): per-iteration durable
+  snapshots + per-partition lineage rows; intermediate iterations may use
+  ``localCheckpoint`` to truncate lineage without durable I/O.
+
+Work stealing (fog_engine.cpp:819-1011) maps to Spark task scheduling +
+AQE; *data* skew is handled structurally by the salted adjacency
+(graph.build_adjacency) — no straggler task ever owns a whole hub.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fog_spark import graph as G
+from fog_spark.plans.checkpoint import CheckpointStore
+
+
+class Algorithm:
+    """Vertex-program surface — the analog of FOG's compile-time template
+    API ``init / scatter_one_edge / gather_one_update / after_iteration``
+    (/root/reference/application/DEMO.hpp:48-138), as DataFrame transforms.
+
+    Contract:
+    - ``init_state(vertices, adj) -> (id, <state...>, _active:boolean)``
+    - ``messages(active_state, adj) -> (dst, <msg...>)``
+    - ``gather(msgs) -> (dst, <agg...>, _n_msgs:long)`` — one row per dst
+    - ``apply(state, gathered) -> (id, <state...>, _active[, _delta])``
+    - ``converged(iteration, stats) -> bool``
+    """
+
+    name: str = "abstract"
+    direction: str = "out"  # "out" | "sym": which adjacency the scatter uses
+    uses_frontier: bool = False  # TARGET-style (frontier) vs GLOBAL (all vids)
+    include_self_loops: bool = True  # GLOBAL keeps them, TARGET drops them
+    needs_weights: bool = False
+    default_max_iters: int = 30
+
+    def init_state(self, vertices: DataFrame, adj: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def messages(self, active_state: DataFrame, adj: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def gather(self, msgs: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def apply(self, state: DataFrame, gathered: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def converged(self, iteration: int, stats: dict[str, Any]) -> bool:
+        if self.uses_frontier:
+            return stats["active_count"] == 0
+        return False
+
+
+@dataclass
+class RunResult:
+    state: DataFrame
+    run_id: str
+    iterations: int
+    converged: bool
+    history: list[dict] = field(default_factory=list)
+
+
+class ScatterGatherEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 1,
+        hub_cap: int | None = G.DEFAULT_HUB_CAP,
+        broadcast_frontier_max: int = 1_000_000,
+        collect_lineage: bool = True,
+    ):
+        self.spark = spark
+        self.store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
+        self.checkpoint_every = checkpoint_every
+        self.hub_cap = hub_cap
+        self.broadcast_frontier_max = broadcast_frontier_max
+        self.collect_lineage = collect_lineage and self.store is not None
+
+    # ------------------------------------------------------------ setup
+    def _prepare_adjacency(self, algo: Algorithm, edges: DataFrame) -> DataFrame:
+        e = G.normalize_edges(edges)
+        if algo.direction == "sym":
+            e = G.symmetrize(e)  # drops self-loops (TARGET semantics)
+        elif not algo.include_self_loops:
+            e = e.where(F.col("src") != F.col("dst"))
+        adj = G.build_adjacency(e, hub_cap=self.hub_cap, with_weights=algo.needs_weights)
+        # Pin the physical layout once: hash-partition + sort by the join
+        # key so every iteration's scatter join reuses this exchange
+        # (the resident CSR analog — FOG mmaps .edge once,
+        # index_vert_array.cpp:31-73).
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        adj = adj.repartition(n, "src").sortWithinPartitions("src")
+        return adj.persist()
+
+    # ------------------------------------------------------------- run
+    def run(
+        self,
+        algo: Algorithm,
+        edges: DataFrame,
+        max_iters: int | None = None,
+        run_id: str | None = None,
+        resume: bool = True,
+        vertices: DataFrame | None = None,
+    ) -> RunResult:
+        max_iters = max_iters or algo.default_max_iters
+        run_id = run_id or f"{algo.name}-{uuid.uuid4().hex[:8]}"
+
+        adj = self._prepare_adjacency(algo, edges)
+        if vertices is None:
+            vertices = G.vertex_ids(edges)
+        else:
+            vertices = vertices.select(F.col("id").cast("long").alias("id"))
+
+        history: list[dict] = []
+        start_iter = 1
+        state = None
+
+        if resume and self.store is not None:
+            latest = self.store.latest_complete(run_id, algo.name)
+            if latest is not None:
+                meta = self.store.read_meta(run_id, algo.name, latest)
+                state = self.store.read_state(run_id, algo.name, latest)
+                history = meta.get("history", [])
+                if meta.get("converged"):
+                    adj.unpersist()
+                    return RunResult(state, run_id, latest, True, history)
+                start_iter = latest + 1
+
+        if state is None:
+            state = algo.init_state(vertices, adj)
+            state = self._checkpoint(algo, run_id, 0, state, durable=True, meta={"history": []})
+
+        prev_active = None
+        converged = False
+        it = start_iter - 1
+        for it in range(start_iter, max_iters + 1):
+            t0 = time.monotonic()
+            active = state.where(F.col("_active")) if algo.uses_frontier else state
+            if (
+                algo.uses_frontier
+                and prev_active is not None
+                and prev_active <= self.broadcast_frontier_max
+            ):
+                active = F.broadcast(active)
+
+            msgs = algo.messages(active, adj)
+            gathered = algo.gather(msgs).persist()
+
+            lineage_rows = []
+            total_msgs = 0
+            if self.collect_lineage:
+                parts = (
+                    gathered.groupBy(F.spark_partition_id().alias("pid"))
+                    .agg(F.sum("_n_msgs").alias("mc"))
+                    .collect()
+                )
+                total_msgs = sum(int(r["mc"]) for r in parts)
+
+            new_state = algo.apply(state, gathered.drop("_n_msgs"))
+
+            durable = (
+                self.store is not None
+                and (it % self.checkpoint_every == 0 or it == max_iters)
+            )
+            stats_probe = new_state
+            # materialize first so stats and meta describe committed data
+            new_state = self._checkpoint(
+                algo, run_id, it, stats_probe, durable=durable, meta=None
+            )
+
+            stats = self._stats(new_state)
+            stats.update(
+                iteration=it,
+                messages=total_msgs,
+                wall_time_ms=int((time.monotonic() - t0) * 1000),
+            )
+            history.append(stats)
+            prev_active = stats["active_count"]
+            converged = algo.converged(it, stats)
+
+            if self.collect_lineage:
+                wall = stats["wall_time_ms"]
+                lineage_rows = [
+                    (run_id, algo.name, it, int(r["pid"]), int(r["mc"]), int(r["mc"]), wall)
+                    for r in parts
+                ]
+                self.store.append_lineage(lineage_rows)
+            gathered.unpersist()
+
+            if durable and self.store is not None:
+                self._write_meta(algo, run_id, it, history, converged)
+            if converged:
+                if not durable and self.store is not None:
+                    new_state = self._checkpoint(
+                        algo, run_id, it, new_state, durable=True, meta=None
+                    )
+                    self._write_meta(algo, run_id, it, history, True)
+                state = new_state
+                break
+            state = new_state
+
+        adj.unpersist()
+        return RunResult(state, run_id, it, converged, history)
+
+    # --------------------------------------------------------- helpers
+    def _checkpoint(self, algo, run_id, it, df, durable: bool, meta) -> DataFrame:
+        if durable and self.store is not None:
+            return self.store.write_state(run_id, algo.name, it, df, meta or {})
+        # truncate lineage without durable I/O between durable snapshots
+        return df.localCheckpoint(eager=True)
+
+    def _write_meta(self, algo, run_id, it, history, converged: bool) -> None:
+        import json, os
+
+        d = self.store._iter_dir(run_id, algo.name, it)
+        with open(os.path.join(d, "_meta.json"), "w") as f:
+            json.dump({"iteration": it, "converged": converged, "history": history}, f)
+
+    def _stats(self, state: DataFrame) -> dict[str, Any]:
+        aggs = [F.count("*").alias("n"), F.sum(F.col("_active").cast("long")).alias("na")]
+        if "_delta" in state.columns:
+            aggs.append(F.max("_delta").alias("md"))
+        row = state.agg(*aggs).collect()[0]
+        return {
+            "vertex_count": int(row["n"]),
+            "active_count": int(row["na"] or 0),
+            "max_delta": float(row["md"]) if "_delta" in state.columns and row["md"] is not None else None,
+        }

@@ -1,0 +1,2 @@
+from fog_spark.sources.pages import generate_pages, generate_edges  # noqa: F401
+from fog_spark.sources.tables import load_table, edges_from_orders  # noqa: F401

@@ -1,0 +1,51 @@
+"""Structured-Streaming ingest: incremental crawl -> edge-table appends.
+
+FOG is strictly batch (no streaming anywhere in the reference); this is
+the Spark-native extension for a continuously-arriving crawl: new page
+files land in a directory (stand-in for a Kafka/WARC feed), outlinks are
+extracted incrementally with the SAME native extraction expressions as
+batch, and per-vertex degree aggregates are maintained with a watermark
+on warc_ts. Algorithms then run on the accumulated edge table — the
+streaming layer only maintains ingest + cheap monotone aggregates; the
+iterative fixpoints stay batch (correct semantics for them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fog_spark.functions.extract import extract_outlinks_col, fixture_page_ids
+from fog_spark.hashing import pmod
+
+
+def stream_edges_from_pages(
+    spark: SparkSession, pages_dir: str, schema=None
+) -> DataFrame:
+    """readStream over a pages directory -> streaming (src, dst, weight).
+
+    Uses the fixture url->id parse (stateless) rather than the dictionary
+    join: a stream-static join against a url dictionary is the cluster
+    variant once the dictionary lives in Iceberg.
+    """
+    if schema is None:
+        schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pages = spark.readStream.schema(schema).parquet(pages_dir)
+    ids = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    linked = pages.select(
+        ids.alias("src"),
+        F.col("warc_ts"),
+        F.explode(extract_outlinks_col(F.col("html"))).alias("dst_url"),
+    )
+    dst = F.regexp_extract("dst_url", r"/p/(\d+)$", 1).cast("long")
+    w = 1.0 + pmod(F.xxhash64(F.col("src"), dst), F.lit(9000)) / 1000.0
+    return linked.select("src", dst.alias("dst"), w.alias("weight"), "warc_ts")
+
+
+def streaming_degrees(edges: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Continuously-maintained out-degree per src with late-data tolerance."""
+    return (
+        edges.withWatermark("warc_ts", watermark)
+        .groupBy("src")
+        .agg(F.count("*").alias("outdeg"))
+    )

@@ -1,0 +1,168 @@
+"""Tiny hand-checked fixture graphs (FIXTURES.md F3) + pure-Python/NumPy
+oracles implementing exactly the reference recurrences (SURVEY §2.3)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from fog_spark.hashing import pmod, xxhash64
+
+# F3.1 chain
+CHAIN5 = [(0, 1), (1, 2), (2, 3), (3, 4)]
+# F3.2 two directed 3-cliques + isolated vertex 6 (pass n_vertices=7)
+TWO_TRIANGLES = [
+    (0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+    (3, 4), (4, 3), (3, 5), (5, 3), (4, 5), (5, 4),
+]
+# F3.3 hub 0 -> 1..9, plus back-edge 9 -> 0
+STAR_HUB = [(0, i) for i in range(1, 10)] + [(9, 0)]
+# F3.4 self-loop semantics pin
+SELFLOOP_PAIR = [(0, 0), (0, 1), (1, 0)]
+
+ALL_GRAPHS = {
+    "chain5": (CHAIN5, 5),
+    "two_triangles": (TWO_TRIANGLES, 7),
+    "star_hub": (STAR_HUB, 10),
+    "selfloop_pair": (SELFLOOP_PAIR, 2),
+}
+
+
+def weight(s: int, d: int) -> float:
+    return 1.0 + pmod(xxhash64(s, d), 9000) / 1000.0
+
+
+def fog_pagerank_oracle(edges, n, iters=10, d=0.85):
+    """rank_t(v) = rank_{t-1}(v) + sum_{u->v}(d*rank_{t-1}(u)/outdeg(u) + (1-d))
+    — the reference recurrence (application/pagerank.hpp:37-94), self-loops
+    included, dangling vertices emit nothing."""
+    outdeg = np.zeros(n, dtype=np.int64)
+    for s, _ in edges:
+        outdeg[s] += 1
+    rank = np.ones(n)
+    for _ in range(iters):
+        incoming = np.zeros(n)
+        for s, t in edges:
+            incoming[t] += d * rank[s] / outdeg[s] + (1 - d)
+        rank = rank + incoming
+    return rank
+
+
+def std_pagerank_oracle(edges, n, d=0.85, tol=1e-6, max_iters=100):
+    outdeg = np.zeros(n, dtype=np.int64)
+    for s, _ in edges:
+        outdeg[s] += 1
+    rank = np.full(n, 1.0 / n)
+    for it in range(max_iters):
+        incoming = np.zeros(n)
+        for s, t in edges:
+            incoming[t] += rank[s] / outdeg[s]
+        dm = rank[outdeg == 0].sum()
+        new = (1 - d) / n + d * (dm / n + incoming)
+        delta = np.abs(new - rank).max()
+        rank = new
+        if delta < tol:
+            break
+    return rank, it + 1
+
+
+def cc_oracle(edges, n):
+    """min vid per weakly-connected component (cc.hpp:59-70 fixpoint)."""
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, t in edges:
+        rs, rt = find(s), find(t)
+        if rs != rt:
+            parent[max(rs, rt)] = min(rs, rt)
+    return [find(v) for v in range(n)]
+
+
+def lpa_oracle(edges, n, max_iters=20):
+    """Synchronous LPA, most-frequent neighbor label, ties -> smallest."""
+    nbrs = defaultdict(set)
+    for s, t in edges:
+        if s != t:
+            nbrs[s].add(t)
+            nbrs[t].add(s)
+    label = list(range(n))
+    for _ in range(max_iters):
+        new = list(label)
+        for v in range(n):
+            if nbrs[v]:
+                c = Counter(label[u] for u in nbrs[v])
+                best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+        if new == label:
+            break
+        label = new
+    return label
+
+
+def bfs_oracle(edges, n, root):
+    adj = defaultdict(list)
+    for s, t in edges:
+        if s != t:
+            adj[s].append(t)
+    level = [None] * n
+    level[root] = 0
+    frontier = [root]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if level[v] is None:
+                    level[v] = level[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return level
+
+
+def sssp_oracle(edges, n, source):
+    import heapq
+
+    adj = defaultdict(list)
+    for s, t in edges:
+        if s != t:
+            adj[s].append((t, weight(s, t)))
+    dist = [float("inf")] * n
+    dist[source] = 0.0
+    pq = [(0.0, source)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist[u]:
+            continue
+        for v, w in adj[u]:
+            nd = du + w
+            if nd < dist[v] - 1e-12:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def triangle_oracle(edges, n):
+    und = set()
+    for s, t in edges:
+        if s != t:
+            und.add((min(s, t), max(s, t)))
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    count = 0
+    for a, b in und:
+        count += len([c for c in nbrs[a] & nbrs[b] if c > b])
+    return count
+
+
+def spmv_oracle(edges, n):
+    y = defaultdict(float)
+    for s, t in edges:
+        y[t] += 1.0 * weight(s, t)
+    return dict(y)

@@ -1,0 +1,162 @@
+"""Every algorithm vs its pure-Python/NumPy oracle on every fixture graph
+(FIXTURES.md F6 conventions: PR allclose 1e-6, CC/LPA/BFS exact)."""
+
+import numpy as np
+import pytest
+
+from fog_spark.algos import (
+    BFS,
+    SSSP,
+    ConnectedComponents,
+    FogPageRank,
+    LabelPropagation,
+    StandardPageRank,
+    spmv,
+    triangle_count,
+)
+from fog_spark.plans.engine import ScatterGatherEngine
+from tests.conftest import make_edges_df
+from tests import graphs as GX
+
+GRAPH_IDS = list(GX.ALL_GRAPHS)
+
+
+def _vertices(spark, n):
+    return spark.range(n).select("id")
+
+
+def _engine(spark):
+    return ScatterGatherEngine(spark, checkpoint_dir=None)
+
+
+@pytest.mark.parametrize("gname", GRAPH_IDS)
+def test_fog_pagerank_matches_reference_recurrence(spark, gname):
+    edges, n = GX.ALL_GRAPHS[gname]
+    res = _engine(spark).run(
+        FogPageRank(niters=10), make_edges_df(spark, edges), vertices=_vertices(spark, n)
+    )
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want = GX.fog_pagerank_oracle(edges, n, iters=10)
+    assert res.iterations == 10
+    for v in range(n):
+        assert abs(got[v] - want[v]) < 1e-6, (gname, v, got[v], want[v])
+
+
+@pytest.mark.parametrize("gname", GRAPH_IDS)
+def test_standard_pagerank_fixed_iters(spark, gname):
+    """Exact state match vs oracle after a bounded iteration count (full
+    convergence to 1e-6 is covered once in test_standard_pagerank_converges
+    — at ~100 engine iterations it is too slow to repeat per graph)."""
+    edges, n = GX.ALL_GRAPHS[gname]
+    res = _engine(spark).run(
+        StandardPageRank(tol=0.0),  # never converges early
+        make_edges_df(spark, edges),
+        max_iters=8,
+        vertices=_vertices(spark, n),
+    )
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want, _ = GX.std_pagerank_oracle(edges, n, tol=0.0, max_iters=8)
+    np.testing.assert_allclose([got[v] for v in range(n)], want, atol=1e-12)
+    # probability mass conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_standard_pagerank_converges(spark):
+    edges, n = GX.ALL_GRAPHS["two_triangles"]
+    res = _engine(spark).run(
+        StandardPageRank(tol=1e-6), make_edges_df(spark, edges), vertices=_vertices(spark, n)
+    )
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want, oracle_iters = GX.std_pagerank_oracle(edges, n, tol=1e-6)
+    assert res.converged
+    assert res.iterations == oracle_iters
+    np.testing.assert_allclose([got[v] for v in range(n)], want, atol=1e-6)
+
+
+@pytest.mark.parametrize("gname", GRAPH_IDS)
+def test_connected_components_exact(spark, gname):
+    edges, n = GX.ALL_GRAPHS[gname]
+    res = _engine(spark).run(
+        ConnectedComponents(), make_edges_df(spark, edges), vertices=_vertices(spark, n)
+    )
+    got = {r["id"]: r["component"] for r in res.state.collect()}
+    want = GX.cc_oracle(edges, n)
+    assert res.converged
+    assert [got[v] for v in range(n)] == want
+
+
+@pytest.mark.parametrize("gname", GRAPH_IDS)
+def test_lpa_exact(spark, gname):
+    edges, n = GX.ALL_GRAPHS[gname]
+    res = _engine(spark).run(
+        LabelPropagation(max_iters=20),
+        make_edges_df(spark, edges),
+        vertices=_vertices(spark, n),
+    )
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    want = GX.lpa_oracle(edges, n, max_iters=20)
+    assert [got[v] for v in range(n)] == want
+
+
+@pytest.mark.parametrize("gname", GRAPH_IDS)
+def test_bfs_levels(spark, gname):
+    edges, n = GX.ALL_GRAPHS[gname]
+    res = _engine(spark).run(
+        BFS(root=0), make_edges_df(spark, edges), vertices=_vertices(spark, n)
+    )
+    got = {r["id"]: r["level"] for r in res.state.collect()}
+    want = GX.bfs_oracle(edges, n, root=0)
+    for v in range(n):
+        if want[v] is None:
+            assert got[v] >= (1 << 62)
+        else:
+            assert got[v] == want[v]
+
+
+@pytest.mark.parametrize("gname", GRAPH_IDS)
+def test_sssp_dists(spark, gname):
+    edges, n = GX.ALL_GRAPHS[gname]
+    res = _engine(spark).run(
+        SSSP(source=0), make_edges_df(spark, edges), vertices=_vertices(spark, n)
+    )
+    got = {r["id"]: r["dist"] for r in res.state.collect()}
+    want = GX.sssp_oracle(edges, n, source=0)
+    for v in range(n):
+        if want[v] == float("inf"):
+            assert got[v] == float("inf")
+        else:
+            assert abs(got[v] - want[v]) < 1e-9
+
+
+@pytest.mark.parametrize("gname", GRAPH_IDS)
+def test_triangles(spark, gname):
+    edges, n = GX.ALL_GRAPHS[gname]
+    e = make_edges_df(spark, edges)
+    want = GX.triangle_oracle(edges, n)
+    assert triangle_count(e, degree_order=True) == want
+    assert triangle_count(e, degree_order=False) == want
+
+
+@pytest.mark.parametrize("gname", GRAPH_IDS)
+def test_spmv(spark, gname):
+    edges, n = GX.ALL_GRAPHS[gname]
+    got = {r["id"]: r["y"] for r in spmv(make_edges_df(spark, edges)).collect()}
+    want = GX.spmv_oracle(edges, n)
+    assert set(got) == set(want)
+    for v, y in want.items():
+        assert abs(got[v] - y) < 1e-9
+
+
+def test_fog_pagerank_on_generated_graph(spark):
+    """End-to-end on the F2 link graph at n=200: html -> edges -> pagerank."""
+    from fog_spark.functions.extract import edges_from_pages
+    from fog_spark.sources.pages import edges_rows, generate_pages
+
+    n = 200
+    pages = generate_pages(spark, n)
+    e = edges_from_pages(pages)
+    res = _engine(spark).run(FogPageRank(niters=5), e, vertices=_vertices(spark, n))
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want = GX.fog_pagerank_oracle([(s, d) for s, d, _ in edges_rows(n)], n, iters=5)
+    for v in range(n):
+        assert abs(got[v] - want[v]) < 1e-6

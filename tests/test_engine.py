@@ -1,0 +1,102 @@
+"""Engine mechanics: checkpoint/lineage/resume (north_rule N4), salting
+equivalence (F4), partition-count invariance."""
+
+import numpy as np
+
+from fog_spark.algos import ConnectedComponents, FogPageRank
+from fog_spark.plans.checkpoint import CheckpointStore
+from fog_spark.plans.engine import ScatterGatherEngine
+from tests.conftest import make_edges_df
+from tests import graphs as GX
+
+
+def _vertices(spark, n):
+    return spark.range(n).select("id")
+
+
+def test_checkpoint_and_lineage(spark, tmp_path):
+    edges, n = GX.ALL_GRAPHS["two_triangles"]
+    eng = ScatterGatherEngine(spark, checkpoint_dir=str(tmp_path))
+    res = eng.run(
+        FogPageRank(niters=3), make_edges_df(spark, edges),
+        run_id="pr-run", vertices=_vertices(spark, n),
+    )
+    assert res.iterations == 3
+    store = CheckpointStore(spark, str(tmp_path))
+    assert store.latest_complete("pr-run", "fog_pagerank") == 3
+    lin = store.read_lineage().collect()
+    assert {r["iteration"] for r in lin} == {1, 2, 3}
+    # every scanned edge emits exactly one message: 12 edges per iteration
+    per_iter = {}
+    for r in lin:
+        per_iter[r["iteration"]] = per_iter.get(r["iteration"], 0) + r["message_count"]
+    assert all(v == len(edges) for v in per_iter.values())
+    assert all(r["wall_time_ms"] >= 0 for r in lin)
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    edges, n = GX.ALL_GRAPHS["two_triangles"]
+    e = make_edges_df(spark, edges)
+    # uninterrupted 6 iters
+    eng1 = ScatterGatherEngine(spark, checkpoint_dir=str(tmp_path / "a"))
+    full = eng1.run(FogPageRank(niters=6), e, run_id="r", vertices=_vertices(spark, n))
+    # interrupted: 3 iters, then resume to 6 with a fresh engine
+    eng2 = ScatterGatherEngine(spark, checkpoint_dir=str(tmp_path / "b"))
+    eng2.run(FogPageRank(niters=3), e, run_id="r", vertices=_vertices(spark, n))
+    eng3 = ScatterGatherEngine(spark, checkpoint_dir=str(tmp_path / "b"))
+    resumed = eng3.run(FogPageRank(niters=6), e, run_id="r", vertices=_vertices(spark, n))
+    a = {r["id"]: r["rank"] for r in full.state.collect()}
+    b = {r["id"]: r["rank"] for r in resumed.state.collect()}
+    assert a.keys() == b.keys()
+    np.testing.assert_allclose(
+        [a[k] for k in sorted(a)], [b[k] for k in sorted(b)], rtol=0, atol=0
+    )
+    # resume skipped the first 3 iterations
+    assert resumed.history[0]["iteration"] == 4 or len(resumed.history) == 6
+
+
+def test_resume_converged_run_is_noop(spark, tmp_path):
+    edges, n = GX.ALL_GRAPHS["chain5"]
+    e = make_edges_df(spark, edges)
+    eng = ScatterGatherEngine(spark, checkpoint_dir=str(tmp_path))
+    first = eng.run(ConnectedComponents(), e, run_id="cc", vertices=_vertices(spark, n))
+    assert first.converged
+    again = eng.run(ConnectedComponents(), e, run_id="cc", vertices=_vertices(spark, n))
+    assert again.converged
+    got = {r["id"]: r["component"] for r in again.state.collect()}
+    assert [got[v] for v in range(n)] == GX.cc_oracle(edges, n)
+
+
+def test_salted_equals_unsalted(spark):
+    """F4: hub splitting changes the physical plan, not the results."""
+    n = 400
+    pairs = [(0, d) for d in range(1, n // 2)] + [(1, d) for d in range(n // 2, n - 1)]
+    pairs += [(d, (d * 7 + 1) % n) for d in range(2, n, 3)]
+    e = make_edges_df(spark, pairs)
+    v = _vertices(spark, n)
+    salted = ScatterGatherEngine(spark, hub_cap=50).run(FogPageRank(niters=3), e, vertices=v)
+    plain = ScatterGatherEngine(spark, hub_cap=None).run(FogPageRank(niters=3), e, vertices=v)
+    a = {r["id"]: r["rank"] for r in salted.state.collect()}
+    b = {r["id"]: r["rank"] for r in plain.state.collect()}
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9
+
+
+def test_partitioning_invariance(spark):
+    """Same results at different shuffle-partition counts (the 2-cluster
+    correctness half of the scaling rule)."""
+    edges, n = GX.ALL_GRAPHS["star_hub"]
+    e = make_edges_df(spark, edges)
+    v = _vertices(spark, n)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        r2 = ScatterGatherEngine(spark).run(FogPageRank(niters=4), e, vertices=v)
+        a = {r["id"]: r["rank"] for r in r2.state.collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        r16 = ScatterGatherEngine(spark).run(FogPageRank(niters=4), e, vertices=v)
+        b = {r["id"]: r["rank"] for r in r16.state.collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12

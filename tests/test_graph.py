@@ -1,0 +1,62 @@
+from pyspark.sql import functions as F
+
+from fog_spark import graph as G
+from tests.conftest import make_edges_df
+from tests.graphs import STAR_HUB, TWO_TRIANGLES
+
+
+def test_degrees_and_stats(spark):
+    e = make_edges_df(spark, STAR_HUB)
+    out = {r["id"]: r["outdeg"] for r in G.out_degrees(e).collect()}
+    assert out == {0: 9, 9: 1}
+    ind = {r["id"]: r["indeg"] for r in G.in_degrees(e).collect()}
+    assert ind == {i: 1 for i in range(1, 10)} | {0: 1}
+    stats = G.graph_stats(e)
+    assert stats == {
+        "min_vertex_id": 0,
+        "max_vertex_id": 9,
+        "num_edges": 10,
+        "max_out_edges": 9,
+    }
+
+
+def test_adjacency_grouping(spark):
+    e = make_edges_df(spark, STAR_HUB)
+    adj = G.build_adjacency(e).collect()
+    rows = {r["src"]: r for r in adj}
+    assert rows[0]["outdeg"] == 9
+    assert sorted(rows[0]["dsts"]) == list(range(1, 10))
+    assert rows[9]["dsts"] == [0]
+
+
+def test_adjacency_weights_aligned(spark):
+    e = make_edges_df(spark, STAR_HUB)
+    adj = G.build_adjacency(e, with_weights=True).collect()
+    wmap = {(r["src"], r["dst"]): r["weight"] for r in e.collect()}
+    for r in adj:
+        for d, w in zip(r["dsts"], r["weights"]):
+            assert wmap[(r["src"], d)] == w
+
+
+def test_salted_hub_split(spark):
+    e = make_edges_df(spark, STAR_HUB)
+    adj = G.build_adjacency(e, hub_cap=3).collect()
+    hub_rows = [r for r in adj if r["src"] == 0]
+    assert len(hub_rows) >= 2  # 9 out-edges, cap 3 -> >=3 expected chunks
+    assert all(r["outdeg"] == 9 for r in hub_rows)  # total degree preserved
+    got = sorted(d for r in hub_rows for d in r["dsts"])
+    assert got == list(range(1, 10))
+    assert max(len(r["dsts"]) for r in hub_rows) <= 9  # chunks bounded-ish (hash split)
+
+
+def test_symmetrize(spark):
+    e = make_edges_df(spark, [(0, 1), (1, 0), (1, 1), (2, 1)])
+    sym = sorted(tuple(r) for r in G.symmetrize(e).collect())
+    assert sym == [(0, 1), (1, 0), (1, 2), (2, 1)]
+
+
+def test_in_adjacency(spark):
+    e = make_edges_df(spark, TWO_TRIANGLES)
+    adj_in = {r["dst"]: sorted(r["srcs"]) for r in G.build_in_adjacency(e).collect()}
+    assert adj_in[0] == [1, 2]
+    assert adj_in[4] == [3, 5]

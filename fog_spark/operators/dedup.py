@@ -22,9 +22,11 @@ from pyspark.sql import functions as F
 
 from fog_spark.hashing import pmod
 
-# Mersenne prime 2^61-1: affine minhash family (a*h+b) mod p stays
-# collision-free-ish and fits in a long without overflow after pmod.
-_MERSENNE61 = (1 << 61) - 1
+# Mersenne prime 2^31-1: affine minhash family (a*h+b) mod p. The base
+# hash is reduced mod p (< 2^31) before the affine transform, so
+# a*h+b < 2^31 * 2^5 + 2^31 stays far below the long range even under
+# ANSI overflow checking (a 61-bit modulus would overflow at a >= 4).
+_MERSENNE31 = (1 << 31) - 1
 
 
 def tokenize_col(text: Column) -> Column:
@@ -66,7 +68,7 @@ def _affine_hashes(base: Column, num_hashes: int) -> list[Column]:
     for i in range(num_hashes):
         a = 2 * i + 1
         b = 1_000_003 * (i + 1)
-        cols.append(pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE61)).alias(f"mh_{i}"))
+        cols.append(pmod(base * F.lit(a) + F.lit(b), F.lit(_MERSENNE31)).alias(f"mh_{i}"))
     return cols
 
 
@@ -80,7 +82,7 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingle_col(F.col(text_col), shingle_n))).alias("sh"),
     )
-    base = pmod(F.xxhash64(F.col("sh")), F.lit(_MERSENNE61))
+    base = pmod(F.xxhash64(F.col("sh")), F.lit(_MERSENNE31))
     hashed = sh.select("id", *_affine_hashes(base, num_hashes))
     return hashed.groupBy("id").agg(
         *[F.min(f"mh_{i}").alias(f"mh_{i}") for i in range(num_hashes)]

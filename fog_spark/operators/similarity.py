@@ -61,13 +61,15 @@ def _plane_component(p: Column, d: Column) -> Column:
     return (pmod(F.xxhash64(p.cast("long") * 100_003 + d.cast("long")), F.lit(2000)) - 1000) / 1000.0
 
 
-def lsh_signature(vec: Column, nplanes: int = 16) -> Column:
-    """Random-hyperplane signature: bit p = sign(vec . plane_p)."""
+def lsh_signature(vec: Column, nplanes: int = 16, table: int = 0) -> Column:
+    """Random-hyperplane signature: bit p = sign(vec . plane_p). Each
+    table uses a disjoint set of planes (plane index offset by table)."""
     bits = []
     for p in range(nplanes):
+        pid = table * 10_007 + p
         idx = F.sequence(F.lit(0), F.size(vec) - 1)
         dot = F.aggregate(
-            F.zip_with(vec, idx, lambda x, d: x.cast("double") * _plane_component(F.lit(p), d)),
+            F.zip_with(vec, idx, lambda x, d: x.cast("double") * _plane_component(F.lit(pid), d)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -80,31 +82,46 @@ def lsh_signature(vec: Column, nplanes: int = 16) -> Column:
 
 def lsh_ann_topk(
     corpus: DataFrame, probes: DataFrame, k: int = 10, nplanes: int = 12,
-    id_col: str = "vec_id", vec_col: str = "embedding",
+    ntables: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact rerank within the probe's LSH bucket.
-    Recall improves with fewer planes (bigger buckets); nplanes trades
-    recall for cost. Returns same schema as cosine_topk."""
+    """Approximate top-k: exact cosine rerank within LSH buckets, using
+    `ntables` independent hash tables (union of candidates). Recall =
+    1-(1-p^nplanes)^ntables for per-bit agreement p — more tables raise
+    recall, more planes shrink buckets/cost. One corpus scan emits all
+    table buckets via a per-row explode; the probe side stays broadcast,
+    so candidate generation is a map-side (broadcast-hash) join with no
+    corpus shuffle. Returns the same schema as cosine_topk."""
     from pyspark.sql import Window
+
+    def buckets(vec: Column) -> Column:
+        return F.array(*[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_signature(vec, nplanes, table=t).alias("b"),
+            )
+            for t in range(ntables)
+        ])
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_signature(F.col(vec_col), nplanes).alias("bucket"),
-    )
+        F.explode(buckets(F.col(vec_col))).alias("bk"),
+    ).select("neighbor_id", "cv", "bk.t", "bk.b")
     p = probes.select(
         "probe_id",
         F.col(vec_col).alias("pv"),
-        lsh_signature(F.col(vec_col), nplanes).alias("bucket"),
-    )
-    sim = (
-        c.join(F.broadcast(p), "bucket")
+        F.explode(buckets(F.col(vec_col))).alias("bk"),
+    ).select("probe_id", "pv", "bk.t", "bk.b")
+    cand = (
+        c.join(F.broadcast(p), ["t", "b"])
         .where(F.col("neighbor_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            (_dot(F.col("cv"), F.col("pv")) / (_norm(F.col("cv")) * _norm(F.col("pv")))).alias("cosine"),
-        )
+        .select("probe_id", "neighbor_id", "cv", "pv")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    sim = cand.select(
+        "probe_id",
+        "neighbor_id",
+        (_dot(F.col("cv"), F.col("pv")) / (_norm(F.col("cv")) * _norm(F.col("pv")))).alias("cosine"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

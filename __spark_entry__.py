@@ -210,6 +210,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("dsts_csv"),
         )
 
+    def in_adjacency_csr(spark, sf):
+        adj = G.build_in_adjacency(_edges(spark, sf), hub_cap=None)
+        return adj.select(
+            "dst",
+            "indeg",
+            F.array_join(
+                F.transform(F.sort_array("srcs"), lambda d: d.cast("string")), ","
+            ).alias("srcs_csv"),
+        )
+
+    def degree_histogram(spark, sf):
+        return (
+            G.out_degrees(_edges(spark, sf))
+            .groupBy("outdeg")
+            .agg(F.count("*").alias("n_vertices"))
+        )
+
     def spmv_milli(spark, sf):
         y = spmv(_edges_milli(spark, sf))
         return y.select("id", F.col("y").cast("long").alias("y_milli"))
@@ -231,6 +248,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def num_components(spark, sf):
         res = _engine(spark).run(ConnectedComponents(), _edges(spark, sf))
         return res.state.agg(F.countDistinct("component").alias("n_components"))
+
+    def component_sizes_q(spark, sf):
+        from fog_spark.algos.components import component_sizes
+
+        res = _engine(spark).run(ConnectedComponents(), _edges(spark, sf))
+        return component_sizes(res.state)
+
+    def spmv_x_milli(spark, sf):
+        # y = A^T x with x(id) = id % 97 + 1 — exercises the x-vector join
+        # (spmv.hpp:47-59); all-long arithmetic so the oracle is hash-exact.
+        e = _edges_milli(spark, sf)
+        x = (
+            e.select(F.col("src").alias("id")).distinct()
+            .select("id", (F.col("id") % 97 + 1).cast("double").alias("x"))
+        )
+        y = spmv(e, x)
+        return y.select("id", F.col("y").cast("long").alias("y_milli"))
 
     def bfs_levels(spark, sf):
         res = _engine(spark).run(BFS(root=0), _edges(spark, sf))
@@ -296,6 +330,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def jaccard_pairs(spark, sf):
         return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2, shingle_n=3)
 
+    def simhash_pairs(spark, sf):
+        # xxhash64-based: not portable to the DuckDB oracle -> rows-only check
+        from fog_spark.operators.dedup import simhash_near_dups
+
+        return simhash_near_dups(
+            _docs(spark, sf), max_hamming=8, id_col="doc_id"
+        ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+    def lsh_ann_topk_ids(spark, sf):
+        # hyperplane LSH uses xxhash64-derived planes -> rows-only check
+        from fog_spark.operators.similarity import lsh_ann_topk
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        probes = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        return lsh_ann_topk(emb, probes, k=5, nplanes=4, ntables=8).select(
+            "probe_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+
     def cosine_topk_ids(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         probes = emb.where(F.col("vec_id") < 5).select(
@@ -338,11 +392,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degrees": out_degrees,
         "in_degrees": in_degrees,
         "adjacency_csr": adjacency_csr,
+        "in_adjacency_csr": in_adjacency_csr,
+        "degree_histogram": degree_histogram,
         "spmv_milli": spmv_milli,
+        "spmv_x_milli": spmv_x_milli,
         "pagerank_fog10_milli": pagerank_fog10_milli,
         "top_pagerank": top_pagerank,
         "connected_components": connected_components,
         "num_components": num_components,
+        "component_sizes": component_sizes_q,
         "bfs_levels": bfs_levels,
         "sssp16_milli": sssp16_milli,
         "lpa5_labels": lpa5_labels,
@@ -354,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": fingerprints,
         "minhash_candidates": minhash_candidates,
         "jaccard_pairs": jaccard_pairs,
+        "simhash_pairs": simhash_pairs,
+        "lsh_ann_topk_ids": lsh_ann_topk_ids,
         "cosine_topk_ids": cosine_topk_ids,
         "user_event_stats": user_event_stats,
         "segment_revenue": segment_revenue,
@@ -409,6 +469,18 @@ WITH e AS ({EDGES})
 SELECT src, COUNT(*) AS outdeg,
        string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS dsts_csv
 FROM e GROUP BY src""",
+        "in_adjacency_csr": f"""
+WITH e AS ({EDGES})
+SELECT dst, COUNT(*) AS indeg,
+       string_agg(CAST(src AS VARCHAR), ',' ORDER BY src) AS srcs_csv
+FROM e GROUP BY dst""",
+        "degree_histogram": f"""
+WITH e AS ({EDGES}), d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)
+SELECT outdeg, COUNT(*) AS n_vertices FROM d GROUP BY outdeg""",
+        "spmv_x_milli": f"""
+WITH em AS ({EDGES_MILLI})
+SELECT dst AS id, CAST(SUM(wm * (src % 97 + 1)) AS BIGINT) AS y_milli
+FROM em GROUP BY dst""",
         "spmv_milli": f"WITH em AS ({EDGES_MILLI}) SELECT dst AS id, CAST(SUM(wm) AS BIGINT) AS y_milli FROM em GROUP BY dst",
         "pagerank_fog10_milli": _pagerank_milli_sql(10, "SELECT id, rank_milli FROM $LAST"),
         "top_pagerank": _pagerank_milli_sql(
@@ -435,6 +507,17 @@ reach(id, lbl) AS (
 ),
 comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
 SELECT CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components FROM comp""",
+        "component_sizes": f"""
+WITH RECURSIVE e AS ({EDGES}),
+und AS (SELECT src, dst FROM e WHERE src <> dst UNION SELECT dst, src FROM e WHERE src <> dst),
+v AS ({VERTS}),
+reach(id, lbl) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id
+),
+comp AS (SELECT id, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY id)
+SELECT component, COUNT(*) AS size FROM comp GROUP BY component""",
         "bfs_levels": f"""
 WITH RECURSIVE e AS ({EDGES}),
 g AS (SELECT src, dst FROM e WHERE src <> dst),

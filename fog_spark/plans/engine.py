@@ -156,7 +156,10 @@ class ScatterGatherEngine:
 
         if state is None:
             state = algo.init_state(vertices, adj)
-            state = self._checkpoint(algo, run_id, 0, state, durable=True, meta={"history": []})
+            if self.store is not None:
+                state = self.store.write_state(run_id, algo.name, 0, state, {"history": []})
+            else:
+                state = state.localCheckpoint(eager=True)
 
         prev_active = None
         converged = False
@@ -172,11 +175,13 @@ class ScatterGatherEngine:
                 active = F.broadcast(active)
 
             msgs = algo.messages(active, adj)
-            gathered = algo.gather(msgs).persist()
+            gathered = algo.gather(msgs)
 
-            lineage_rows = []
             total_msgs = 0
             if self.collect_lineage:
+                # lineage needs per-partition message counts -> cache the
+                # gather output so the collect and apply share one compute
+                gathered = gathered.persist()
                 parts = (
                     gathered.groupBy(F.spark_partition_id().alias("pid"))
                     .agg(F.sum("_n_msgs").alias("mc"))
@@ -190,13 +195,18 @@ class ScatterGatherEngine:
                 self.store is not None
                 and (it % self.checkpoint_every == 0 or it == max_iters)
             )
-            stats_probe = new_state
-            # materialize first so stats and meta describe committed data
-            new_state = self._checkpoint(
-                algo, run_id, it, stats_probe, durable=durable, meta=None
-            )
-
+            # Materialize every iteration: an eager localCheckpoint both
+            # truncates the logical plan (per-iteration analysis stays
+            # O(1) — a persist chain re-analyzes the whole history and a
+            # raw chain recomputes ancestors exponentially, both measured
+            # slower) and caches the state (MEMORY_AND_DISK, spillable).
+            # The stats agg then scans only the checkpointed RDD.
+            if durable:
+                new_state = self.store.write_state(run_id, algo.name, it, new_state, {})
+            else:
+                new_state = new_state.localCheckpoint(eager=True)
             stats = self._stats(new_state)
+
             stats.update(
                 iteration=it,
                 messages=total_msgs,
@@ -208,20 +218,17 @@ class ScatterGatherEngine:
 
             if self.collect_lineage:
                 wall = stats["wall_time_ms"]
-                lineage_rows = [
+                self.store.append_lineage([
                     (run_id, algo.name, it, int(r["pid"]), int(r["mc"]), int(r["mc"]), wall)
                     for r in parts
-                ]
-                self.store.append_lineage(lineage_rows)
-            gathered.unpersist()
+                ])
+                gathered.unpersist()
 
             if durable and self.store is not None:
                 self._write_meta(algo, run_id, it, history, converged)
             if converged:
                 if not durable and self.store is not None:
-                    new_state = self._checkpoint(
-                        algo, run_id, it, new_state, durable=True, meta=None
-                    )
+                    new_state = self.store.write_state(run_id, algo.name, it, new_state, {})
                     self._write_meta(algo, run_id, it, history, True)
                 state = new_state
                 break
@@ -231,11 +238,6 @@ class ScatterGatherEngine:
         return RunResult(state, run_id, it, converged, history)
 
     # --------------------------------------------------------- helpers
-    def _checkpoint(self, algo, run_id, it, df, durable: bool, meta) -> DataFrame:
-        if durable and self.store is not None:
-            return self.store.write_state(run_id, algo.name, it, df, meta or {})
-        # truncate lineage without durable I/O between durable snapshots
-        return df.localCheckpoint(eager=True)
 
     def _write_meta(self, algo, run_id, it, history, converged: bool) -> None:
         import json, os

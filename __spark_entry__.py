@@ -42,15 +42,18 @@ TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x
 
 
 def _pagerank_milli_sql(niters: int, tail: str) -> str:
+    # AS MATERIALIZED: DuckDB inlines CTEs by default, and each r{k}
+    # references r{k-1} twice — inlining would expand to 2^niters scans
+    # (at 16 rounds that exhausts the fd limit before it gets slow).
     ctes = [
-        f"e AS ({EDGES})",
-        f"v AS ({VERTS})",
-        "d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
-        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_milli FROM v)",
+        f"e AS MATERIALIZED ({EDGES})",
+        f"v AS MATERIALIZED ({VERTS})",
+        "d AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS rank_milli FROM v)",
     ]
     for k in range(1, niters + 1):
         ctes.append(
-            f"r{k} AS (SELECT p.id, CAST(p.rank_milli + COALESCE(m.s, 0) AS BIGINT) AS rank_milli "
+            f"r{k} AS MATERIALIZED (SELECT p.id, CAST(p.rank_milli + COALESCE(m.s, 0) AS BIGINT) AS rank_milli "
             f"FROM r{k-1} p LEFT JOIN ("
             f"SELECT e.dst AS id, SUM((850 * r.rank_milli) // (1000 * d.outdeg) + 150000) AS s "
             f"FROM r{k-1} r JOIN d ON d.src = r.id JOIN e ON e.src = r.id GROUP BY e.dst"
@@ -61,13 +64,13 @@ def _pagerank_milli_sql(niters: int, tail: str) -> str:
 
 def _sssp_milli_sql(rounds: int) -> str:
     ctes = [
-        f"em AS ({EDGES_MILLI})",
-        "g AS (SELECT * FROM em WHERE src < dst)",
-        "d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)",
+        f"em AS MATERIALIZED ({EDGES_MILLI})",
+        "g AS MATERIALIZED (SELECT * FROM em WHERE src < dst)",
+        "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)",
     ]
     for k in range(1, rounds + 1):
         ctes.append(
-            f"d{k} AS (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM ("
+            f"d{k} AS MATERIALIZED (SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM ("
             f"SELECT id, dist FROM d{k-1} "
             f"UNION ALL SELECT g.dst, r.dist + g.wm FROM d{k-1} r JOIN g ON g.src = r.id"
             f") GROUP BY id)"
@@ -80,16 +83,16 @@ def _sssp_milli_sql(rounds: int) -> str:
 
 def _lpa_sql(rounds: int) -> str:
     ctes = [
-        f"e AS ({EDGES})",
-        "und AS (SELECT DISTINCT src, dst FROM ("
+        f"e AS MATERIALIZED ({EDGES})",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
         "SELECT src, dst FROM e WHERE src <> dst "
         "UNION ALL SELECT dst, src FROM e WHERE src <> dst))",
-        f"v AS ({VERTS})",
-        "l0 AS (SELECT id, CAST(id AS BIGINT) AS label FROM v)",
+        f"v AS MATERIALIZED ({VERTS})",
+        "l0 AS MATERIALIZED (SELECT id, CAST(id AS BIGINT) AS label FROM v)",
     ]
     for k in range(1, rounds + 1):
         ctes.append(
-            f"l{k} AS (SELECT base.id, CAST(COALESCE(w.new_label, base.label) AS BIGINT) AS label "
+            f"l{k} AS MATERIALIZED (SELECT base.id, CAST(COALESCE(w.new_label, base.label) AS BIGINT) AS label "
             f"FROM l{k-1} base LEFT JOIN ("
             f"SELECT dst, new_label FROM ("
             f"SELECT c.dst, c.label AS new_label, "

@@ -280,6 +280,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.col("dist").cast("long").alias("dist_milli")
         )
 
+    def scc_labels(spark, sf):
+        from fog_spark.algos import scc
+
+        return scc(_edges(spark, sf))
+
+    def scc_sizes_q(spark, sf):
+        from fog_spark.algos import scc, scc_sizes
+
+        return scc_sizes(scc(_edges(spark, sf)))
+
     def lpa5_labels(spark, sf):
         res = _engine(spark).run(LabelPropagation(max_iters=5), _edges(spark, sf))
         return res.state.select("id", "label")
@@ -406,6 +416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": component_sizes_q,
         "bfs_levels": bfs_levels,
         "sssp16_milli": sssp16_milli,
+        "scc_labels": scc_labels,
+        "scc_sizes": scc_sizes_q,
         "lpa5_labels": lpa5_labels,
         "triangle_count": triangle_count_q,
         "extract_roundtrip": extract_roundtrip,
@@ -531,6 +543,29 @@ reach(id, lvl) AS (
 )
 SELECT id, CAST(MIN(lvl) AS BIGINT) AS level FROM reach GROUP BY id""",
         "sssp16_milli": _sssp_milli_sql(16),
+        "scc_labels": f"""
+WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({EDGES}) WHERE src <> dst),
+v AS MATERIALIZED ({VERTS}),
+reach(a, b) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+)
+SELECT r1.a AS id, CAST(MIN(r1.b) AS BIGINT) AS scc
+FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY r1.a""",
+        "scc_sizes": f"""
+WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({EDGES}) WHERE src <> dst),
+v AS MATERIALIZED ({VERTS}),
+reach(a, b) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+lbl AS (SELECT r1.a AS id, CAST(MIN(r1.b) AS BIGINT) AS scc
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        GROUP BY r1.a)
+SELECT scc, COUNT(*) AS size FROM lbl GROUP BY scc""",
         "lpa5_labels": _lpa_sql(5),
         "triangle_count": f"""
 WITH e AS ({EDGES}),

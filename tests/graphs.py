@@ -161,6 +161,60 @@ def triangle_oracle(edges, n):
     return count
 
 
+def scc_oracle(edges, n):
+    """Strongly connected components, label = min member vid. Iterative
+    Tarjan (explicit stack, no recursion limit issues)."""
+    adj = defaultdict(list)
+    for s, t in edges:
+        if s != t:
+            adj[s].append(t)
+    index = [None] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack: list[int] = []
+    label = [0] * n
+    counter = 0
+    for start in range(n):
+        if index[start] is not None:
+            continue
+        work = [(start, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] is None:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return label
+
+
 def spmv_oracle(edges, n):
     y = defaultdict(float)
     for s, t in edges:

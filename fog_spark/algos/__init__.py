@@ -2,6 +2,7 @@ from fog_spark.algos.pagerank import FogPageRank, FogPageRankMilli, StandardPage
 from fog_spark.algos.components import ConnectedComponents  # noqa: F401
 from fog_spark.algos.lpa import LabelPropagation  # noqa: F401
 from fog_spark.algos.traversal import BFS, SSSP  # noqa: F401
+from fog_spark.algos.msf import msf, msf_total_weight  # noqa: F401
 from fog_spark.algos.scc import scc, scc_sizes  # noqa: F401
 from fog_spark.algos.spmv import spmv  # noqa: F401
 from fog_spark.algos.triangles import triangle_count, triangles  # noqa: F401

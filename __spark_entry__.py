@@ -290,6 +290,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return scc_sizes(scc(_edges(spark, sf)))
 
+    def msf_edges_milli(spark, sf):
+        # Borůvka forest on the milli-weighted graph; weights are exact
+        # longs. No union-find in SQL -> rows-only driver check; the
+        # pytest Kruskal oracle (tests/test_msf.py) covers exactness.
+        from fog_spark.algos import msf
+
+        e = _edges_milli(spark, sf)
+        return msf(e).select(
+            "a", "b", F.col("w").cast("long").alias("w_milli")
+        )
+
+    def msf_total_weight_milli(spark, sf):
+        from fog_spark.algos import msf
+
+        forest = msf(_edges_milli(spark, sf))
+        return forest.agg(
+            F.sum(F.col("w").cast("long")).alias("total_w_milli"),
+            F.count("*").cast("long").alias("n_edges"),
+        )
+
     def lpa5_labels(spark, sf):
         res = _engine(spark).run(LabelPropagation(max_iters=5), _edges(spark, sf))
         return res.state.select("id", "label")
@@ -418,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp16_milli": sssp16_milli,
         "scc_labels": scc_labels,
         "scc_sizes": scc_sizes_q,
+        "msf_edges_milli": msf_edges_milli,
+        "msf_total_weight_milli": msf_total_weight_milli,
         "lpa5_labels": lpa5_labels,
         "triangle_count": triangle_count_q,
         "extract_roundtrip": extract_roundtrip,

@@ -30,6 +30,7 @@ class FogPageRank(Algorithm):
     direction = "out"
     include_self_loops = True
     uses_frontier = False
+    needs_stats = False  # fixed niters; converged() never reads stats
 
     def __init__(self, niters: int = 10, damping: float = 0.85):
         self.name = "fog_pagerank"
@@ -87,6 +88,7 @@ class FogPageRankMilli(Algorithm):
     direction = "out"
     include_self_loops = True
     uses_frontier = False
+    needs_stats = False  # fixed niters; converged() never reads stats
 
     def __init__(self, niters: int = 10):
         self.name = "fog_pagerank_milli"

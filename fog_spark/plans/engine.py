@@ -60,6 +60,10 @@ class Algorithm:
     include_self_loops: bool = True  # GLOBAL keeps them, TARGET drops them
     needs_weights: bool = False
     default_max_iters: int = 30
+    # fixed-iteration GLOBAL algorithms never read the per-iteration
+    # stats; skipping the agg saves one whole job per iteration (a pure
+    # driver-side constant that otherwise caps strong scaling)
+    needs_stats: bool = True
 
     def init_state(self, vertices: DataFrame, adj: DataFrame) -> DataFrame:
         raise NotImplementedError
@@ -248,7 +252,10 @@ class ScatterGatherEngine:
             else:
                 new_state = self.mat.checkpoint(new_state)
             self.mat.free(prev_state)
-            stats = self._stats(new_state)
+            if algo.needs_stats:
+                stats = self._stats(new_state)
+            else:
+                stats = {"vertex_count": None, "active_count": None, "max_delta": None}
 
             stats.update(
                 iteration=it,

@@ -144,6 +144,53 @@ def _pagerank_milli_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _STATE_CACHE[key]
 
 
+def _cc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # three queries() entries share one engine run (gate-runtime budget)
+    key = ("cc", sf_dir)
+    if key not in _STATE_CACHE:
+        from fog_spark.algos import ConnectedComponents
+
+        res = _engine(spark).run(ConnectedComponents(), _edges(spark, sf_dir))
+        _STATE_CACHE[key] = res.state.select("id", "component")
+    return _STATE_CACHE[key]
+
+
+def _scc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("scc", sf_dir)
+    if key not in _STATE_CACHE:
+        from fog_spark.algos import scc
+
+        _STATE_CACHE[key] = scc(_edges(spark, sf_dir))
+    return _STATE_CACHE[key]
+
+
+def _msf_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("msf", sf_dir)
+    if key not in _STATE_CACHE:
+        from fog_spark.algos import msf
+
+        _STATE_CACHE[key] = msf(_edges_milli(spark, sf_dir))
+    return _STATE_CACHE[key]
+
+
+def _text_graph_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the orders-derived edge table as SNAP-style text
+    (edge-list + adj-list) once per sf; the scan queries then exercise
+    the C1/C2 text ingest path end-to-end against the SQL edge oracle."""
+    import tempfile
+
+    from fog_spark.sources.edgelist import write_adjlist, write_edgelist
+
+    key = ("textgraph", sf_dir)
+    if key not in _STATE_CACHE:
+        d = tempfile.mkdtemp(prefix="fog_spark_textgraph_")
+        e = _edges(spark, sf_dir).select("src", "dst")
+        write_edgelist(e, f"{d}/edges")
+        write_adjlist(e, f"{d}/adj")
+        _STATE_CACHE[key] = d
+    return _STATE_CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -245,18 +292,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def connected_components(spark, sf):
-        res = _engine(spark).run(ConnectedComponents(), _edges(spark, sf))
-        return res.state.select("id", "component")
+        return _cc_state(spark, sf)
 
     def num_components(spark, sf):
-        res = _engine(spark).run(ConnectedComponents(), _edges(spark, sf))
-        return res.state.agg(F.countDistinct("component").alias("n_components"))
+        return _cc_state(spark, sf).agg(
+            F.countDistinct("component").alias("n_components")
+        )
 
     def component_sizes_q(spark, sf):
         from fog_spark.algos.components import component_sizes
 
-        res = _engine(spark).run(ConnectedComponents(), _edges(spark, sf))
-        return component_sizes(res.state)
+        return component_sizes(_cc_state(spark, sf))
 
     def spmv_x_milli(spark, sf):
         # y = A^T x with x(id) = id % 97 + 1 — exercises the x-vector join
@@ -270,7 +316,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return y.select("id", F.col("y").cast("long").alias("y_milli"))
 
     def bfs_levels(spark, sf):
-        res = _engine(spark).run(BFS(root=0), _edges(spark, sf))
+        # max_iters=100 pins the iteration bound to the oracle's
+        # `r.lvl < 100` recursion guard: both sides emit levels <= 100,
+        # so graphs with eccentricity > 100 from the root still agree
+        # (tests/test_algos.py proves it on a 150-vertex path).
+        res = _engine(spark).run(BFS(root=0), _edges(spark, sf), max_iters=100)
         return res.state.where(F.col("level") < (1 << 62)).select("id", "level")
 
     def sssp16_milli(spark, sf):
@@ -281,31 +331,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def scc_labels(spark, sf):
-        from fog_spark.algos import scc
-
-        return scc(_edges(spark, sf))
+        return _scc_state(spark, sf)
 
     def scc_sizes_q(spark, sf):
-        from fog_spark.algos import scc, scc_sizes
+        from fog_spark.algos import scc_sizes
 
-        return scc_sizes(scc(_edges(spark, sf)))
+        return scc_sizes(_scc_state(spark, sf))
 
     def msf_edges_milli(spark, sf):
         # Borůvka forest on the milli-weighted graph; weights are exact
         # longs. No union-find in SQL -> rows-only driver check; the
         # pytest Kruskal oracle (tests/test_msf.py) covers exactness.
-        from fog_spark.algos import msf
-
-        e = _edges_milli(spark, sf)
-        return msf(e).select(
+        return _msf_forest(spark, sf).select(
             "a", "b", F.col("w").cast("long").alias("w_milli")
         )
 
     def msf_total_weight_milli(spark, sf):
-        from fog_spark.algos import msf
-
-        forest = msf(_edges_milli(spark, sf))
-        return forest.agg(
+        return _msf_forest(spark, sf).agg(
             F.sum(F.col("w").cast("long")).alias("total_w_milli"),
             F.count("*").cast("long").alias("n_edges"),
         )
@@ -566,8 +608,9 @@ reach(id, lvl) AS (
 SELECT id, CAST(MIN(lvl) AS BIGINT) AS level FROM reach GROUP BY id""",
         "sssp16_milli": _sssp_milli_sql(16),
         "scc_labels": f"""
-WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({EDGES}) WHERE src <> dst),
-v AS MATERIALIZED ({VERTS}),
+WITH RECURSIVE e0 AS MATERIALIZED ({EDGES}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+v AS MATERIALIZED (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
 reach(a, b) AS (
   SELECT id, id FROM v
   UNION
@@ -577,8 +620,9 @@ SELECT r1.a AS id, CAST(MIN(r1.b) AS BIGINT) AS scc
 FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
 GROUP BY r1.a""",
         "scc_sizes": f"""
-WITH RECURSIVE e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({EDGES}) WHERE src <> dst),
-v AS MATERIALIZED ({VERTS}),
+WITH RECURSIVE e0 AS MATERIALIZED ({EDGES}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+v AS MATERIALIZED (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
 reach(a, b) AS (
   SELECT id, id FROM v
   UNION

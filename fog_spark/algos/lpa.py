@@ -10,7 +10,7 @@ max_iters because sync LPA can 2-cycle on bipartite structures.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fog_spark.plans.engine import Algorithm
@@ -35,22 +35,15 @@ class LabelPropagation(Algorithm):
         )
 
     def gather(self, msgs: DataFrame) -> DataFrame:
-        # two-level: count per (dst,label) with map-side combine, then a
-        # per-dst window picks the winner. The window repartitions only the
-        # already-aggregated (dst,label) pairs, not raw messages.
+        # two-level: count per (dst,label) with map-side combine, then ONE
+        # per-dst hash aggregation picks the winner via max_by over the
+        # ordering struct (cnt DESC, label ASC == max of (cnt, -label)) —
+        # no window, no per-dst sort; both aggs get partial combine.
         counts = msgs.groupBy("dst", "label").agg(F.count("*").alias("cnt"))
-        w = Window.partitionBy("dst")
-        ranked = counts.select(
-            "dst",
-            "label",
-            "cnt",
-            F.sum("cnt").over(w).alias("_n_msgs"),
-            F.row_number()
-            .over(w.orderBy(F.col("cnt").desc(), F.col("label").asc()))
-            .alias("_rn"),
-        )
-        return ranked.where(F.col("_rn") == 1).select(
-            "dst", F.col("label").alias("_new_label"), "_n_msgs"
+        winner_key = F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))
+        return counts.groupBy("dst").agg(
+            F.max_by(F.col("label"), winner_key).alias("_new_label"),
+            F.sum("cnt").alias("_n_msgs"),
         )
 
     def apply(self, state: DataFrame, gathered: DataFrame) -> DataFrame:

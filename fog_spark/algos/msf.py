@@ -52,55 +52,118 @@ def canonical_undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+# Below this many picked edges the contraction graph is collected and
+# union-found on the driver in one job. 2M rows is ~32 MB — trivially
+# broadcastable; at 10^12-vertex scale the first Borůvka rounds stay on
+# the distributed path and later rounds (components shrink at least
+# geometrically) flip to the driver path automatically.
+DRIVER_CONTRACT_CAP = 2_000_000
+
+
+def _union_find_min(pairs) -> dict[int, int]:
+    """Driver-side union-find over (a, b) pairs; the root of every set is
+    its minimum element (matching distributed hash-min semantics), so the
+    result is schedule-independent."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    return {x: find(x) for x in nodes}
+
+
 def _contract(
-    M: Materializer, comp: DataFrame, picked: DataFrame, max_iters: int = 64
+    M: Materializer,
+    comp: DataFrame,
+    picked: DataFrame,
+    max_iters: int = 64,
+    driver_cap: int = DRIVER_CONTRACT_CAP,
 ) -> DataFrame:
-    """Union the endpoints of picked edges: hash-min over the picked
-    forest until stable. comp: (id, comp); picked: (ca, cb) component
-    pairs (ca != cb)."""
-    # relabel over the small component graph first (|picked| <= #comps)
+    """Union the endpoints of picked edges. comp: (id, comp); picked:
+    (ca, cb) component pairs (ca != cb).
+
+    Small contraction graphs (<= driver_cap pairs) are solved exactly on
+    the driver with union-find — one collect + one broadcast relabel join,
+    instead of thousands of sequential fixpoint barriers. Large ones run a
+    distributed hash-min + pointer-doubling fixpoint on a FIXED
+    ceil(log2(n))+2 schedule (doubling covers 2^k hops after k rounds)
+    with a single stability check at the end — no per-hop blocking counts.
+    """
+    import math
+
+    n_pairs = picked.count()
+    spark = comp.sparkSession
+    if n_pairs <= driver_cap:
+        rows = picked.select("ca", "cb").collect()
+        mapping = _union_find_min((int(r["ca"]), int(r["cb"])) for r in rows)
+        lbl_df = spark.createDataFrame(
+            [(c, l) for c, l in mapping.items()], "c long, lbl long"
+        )
+        return M.swap(
+            comp,
+            comp.join(F.broadcast(lbl_df), comp["comp"] == F.col("c"), "left")
+            .select("id", F.coalesce("lbl", "comp").alias("comp")),
+        )
+
     m = picked.select(F.col("ca").alias("x"), F.col("cb").alias("y"))
     m = M.checkpoint(m.unionByName(m.select(F.col("y").alias("x"), F.col("x").alias("y"))))
     lbl = M.checkpoint(
         m.select(F.col("x").alias("c")).distinct()
         .select("c", F.col("c").alias("lbl"))
     )
+    schedule = int(math.ceil(math.log2(max(n_pairs, 2)))) + 2
+    converged = False
     for _ in range(max_iters):
-        # one hash-min hop over the picked graph ...
-        msgs = (
-            lbl.join(m, lbl["c"] == m["x"])
-            .groupBy(m["y"].alias("mc"))
-            .agg(F.min("lbl").alias("mlbl"))
-        )
-        hop = lbl.join(msgs, lbl["c"] == F.col("mc"), "left").select(
-            "c", F.least("lbl", F.coalesce("mlbl", "lbl")).alias("lbl")
-        )
-        # ... then pointer doubling (lbl <- lbl[lbl]) so monotone chains
-        # collapse in O(log n) rounds instead of O(n)
-        parent = hop.select(F.col("c").alias("pc"), F.col("lbl").alias("plbl"))
-        new = M.swap(
-            lbl,
-            hop.join(parent, hop["lbl"] == F.col("pc"), "left")
-            .select(
-                "c",
-                F.coalesce("plbl", "lbl").alias("lbl"),
-                (F.coalesce("plbl", F.col("lbl")) < F.col("lbl")).alias("_chg2"),
-            ),
-        )
-        changed = new.where("_chg2").count()
-        lbl = M.adopt(new.drop("_chg2"), new)
-        if changed == 0:
-            # doubling made no progress; confirm the hop itself is stable
-            stable = (
+        for _hop in range(schedule):
+            # one hash-min hop over the picked graph ...
+            msgs = (
                 lbl.join(m, lbl["c"] == m["x"])
-                .join(
-                    lbl.select(F.col("c").alias("yc"), F.col("lbl").alias("ylbl")),
-                    m["y"] == F.col("yc"),
-                )
-                .where(F.col("lbl") < F.col("ylbl"))
+                .groupBy(m["y"].alias("mc"))
+                .agg(F.min("lbl").alias("mlbl"))
             )
-            if stable.isEmpty():
-                break
+            hop = lbl.join(msgs, lbl["c"] == F.col("mc"), "left").select(
+                "c", F.least("lbl", F.coalesce("mlbl", "lbl")).alias("lbl")
+            )
+            # ... then pointer doubling (lbl <- min(lbl, lbl[lbl])) so
+            # monotone chains collapse in O(log n) rounds instead of O(n)
+            parent = hop.select(F.col("c").alias("pc"), F.col("lbl").alias("plbl"))
+            lbl = M.swap(
+                lbl,
+                hop.join(parent, hop["lbl"] == F.col("pc"), "left")
+                .select("c", F.least("lbl", F.coalesce("plbl", "lbl")).alias("lbl")),
+            )
+        unstable = (
+            lbl.join(m, lbl["c"] == m["x"])
+            .join(
+                lbl.select(F.col("c").alias("yc"), F.col("lbl").alias("ylbl")),
+                m["y"] == F.col("yc"),
+            )
+            .where(F.col("lbl") < F.col("ylbl"))
+        )
+        if unstable.isEmpty():
+            converged = True
+            break
+        schedule = max(2, schedule // 2)
+    if not converged:
+        M.free(lbl)
+        M.free(m)
+        raise RuntimeError("msf._contract: label fixpoint did not converge")
     out = M.swap(
         comp,
         comp.join(lbl, comp["comp"] == lbl["c"], "left")

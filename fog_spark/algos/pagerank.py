@@ -166,12 +166,24 @@ class StandardPageRank(Algorithm):
         )
 
     def apply(self, state: DataFrame, gathered: DataFrame) -> DataFrame:
-        # dangling mass: ranks with no out-edges are redistributed uniformly
-        dm = state.where(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0] or 0.0
-        base = (1.0 - self.d) / self._n + self.d * dm / self._n
-        new_rank = F.lit(base) + self.d * F.coalesce(F.col("_sum"), F.lit(0.0))
+        # dangling mass (ranks with no out-edges, redistributed uniformly)
+        # and the vertex count are computed as a plan-side scalar aggregate
+        # broadcast-cross-joined in — no driver collect per iteration, and
+        # no dependence on driver-held state (self._n), so a checkpointed
+        # run resumes correctly (the resume path skips init_state).
+        totals = F.broadcast(
+            state.agg(
+                F.count("*").cast("double").alias("_nv"),
+                F.coalesce(
+                    F.sum(F.when(~F.col("has_out"), F.col("rank"))), F.lit(0.0)
+                ).alias("_dm"),
+            )
+        )
+        base = (1.0 - self.d) / F.col("_nv") + self.d * F.col("_dm") / F.col("_nv")
+        new_rank = base + self.d * F.coalesce(F.col("_sum"), F.lit(0.0))
         return (
             state.join(gathered, state["id"] == gathered["dst"], "left")
+            .crossJoin(totals)
             .select(
                 state["id"],
                 new_rank.alias("rank"),

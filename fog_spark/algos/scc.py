@@ -38,7 +38,15 @@ from fog_spark.plans.materialize import Materializer
 def _min_color_fixpoint(
     M: Materializer, verts: DataFrame, edges: DataFrame, max_iters: int
 ) -> DataFrame:
-    """(id, color): min vertex id that reaches id over directed edges."""
+    """(id, color): min vertex id that reaches id over directed edges.
+
+    Each iteration does one propagation hop plus pointer doubling —
+    ``color(v) <- min(color(v), color(color(v)))`` is valid because
+    "reaches" is transitive (if c reaches v and c' reaches c, c' reaches
+    v) and color values are themselves vertex ids — so convergence takes
+    O(log diameter) iterations, not O(diameter). Raises if the bound is
+    exhausted with changes still occurring (a silent early return would
+    shatter large-diameter SCCs into wrong components)."""
     color = M.checkpoint(verts.select("id", F.col("id").alias("color")))
     for _ in range(max_iters):
         msgs = (
@@ -46,44 +54,29 @@ def _min_color_fixpoint(
             .groupBy(edges["dst"].alias("mid"))
             .agg(F.min("color").alias("mcolor"))
         )
+        hop = color.join(msgs, color["id"] == F.col("mid"), "left").select(
+            "id",
+            F.least("color", F.coalesce("mcolor", "color")).alias("color"),
+            F.col("color").alias("_old"),
+        )
+        parent = hop.select(F.col("id").alias("pid"), F.col("color").alias("pcolor"))
         new = (
-            color.join(msgs, color["id"] == F.col("mid"), "left")
+            hop.join(parent, hop["color"] == F.col("pid"), "left")
             .select(
                 "id",
-                F.least("color", F.coalesce("mcolor", "color")).alias("color"),
-                (F.coalesce("mcolor", F.lit(1 << 62)) < F.col("color")).alias("_chg"),
+                F.least("color", F.coalesce("pcolor", "color")).alias("color"),
+                (F.least("color", F.coalesce("pcolor", "color")) < F.col("_old")).alias("_chg"),
             )
         )
         new = M.swap(color, new)
         n_changed = new.where("_chg").count()
         color = M.adopt(new.drop("_chg"), new)
         if n_changed == 0:
-            break
-    return color
-
-
-def _backward_mark(
-    M: Materializer, roots: DataFrame, colored_edges: DataFrame, max_iters: int
-) -> DataFrame:
-    """(id, color) of every vertex backward-reachable from its color's
-    root over same-color edges (roots included)."""
-    marked = M.checkpoint(roots)
-    frontier = marked
-    for _ in range(max_iters):
-        step = (
-            frontier.join(colored_edges, frontier["id"] == colored_edges["dst"])
-            .select(colored_edges["src"].alias("id"), frontier["color"])
-            .distinct()
-        )
-        new = M.checkpoint(step.join(marked, "id", "left_anti"))
-        if frontier is not marked:
-            M.free(frontier)
-        if new.isEmpty():
-            M.free(new)
-            break
-        marked = M.swap(marked, marked.unionByName(new))
-        frontier = new
-    return marked
+            return color
+    M.free(color)
+    raise RuntimeError(
+        f"scc min-color fixpoint did not converge in {max_iters} iterations"
+    )
 
 
 def scc(
@@ -134,7 +127,15 @@ def scc(
         # ---- 2. forward min-color fixpoint
         color = _min_color_fixpoint(M, verts, e, max_inner_iters)
 
-        # ---- 3. backward mark from roots within color classes
+        # ---- 3. backward pass = the SAME fixpoint on the REVERSED
+        # same-color subgraph. Every colored edge joins same-color
+        # endpoints, so paths stay within one color class; revcolor(v) is
+        # then the min class member reachable FROM v, and v belongs to the
+        # SCC of its class root r iff color(v) == revcolor(v) == r (all
+        # class members have id >= r, so reaching r is the minimum). This
+        # replaces hop-at-a-time backward BFS with an O(log diameter)
+        # doubled fixpoint, and the SCC label is the color itself (r is
+        # the min member) — no extra groupBy+join.
         csrc = color.select(F.col("id").alias("src"), F.col("color").alias("_cs"))
         cdst = color.select(F.col("id").alias("dst"), F.col("color").alias("_cd"))
         colored_edges = M.checkpoint(
@@ -142,14 +143,21 @@ def scc(
             .where(F.col("_cs") == F.col("_cd"))
             .select("src", "dst")
         )
-        roots = color.where(F.col("id") == F.col("color"))
-        members = _backward_mark(M, roots, colored_edges, max_inner_iters)
+        rev_edges = colored_edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        revcolor = _min_color_fixpoint(M, verts, rev_edges, max_inner_iters)
         M.free(colored_edges)
 
-        # ---- 4. label = min member id per color class; assign + shrink
-        labels = members.groupBy("color").agg(F.min("id").alias("scc"))
-        found = M.checkpoint(members.join(labels, "color").select("id", "scc"))
-        M.free(members)
+        # ---- 4. members: forward color == backward color; assign + shrink
+        found = M.checkpoint(
+            color.join(
+                revcolor.withColumnRenamed("color", "_rev"), "id"
+            )
+            .where(F.col("color") == F.col("_rev"))
+            .select("id", F.col("color").alias("scc"))
+        )
+        M.free(revcolor)
         M.free(color)
         assigned = M.swap(assigned, assigned.unionByName(found))
         verts = M.swap(verts, verts.join(found, "id", "left_anti"))
@@ -165,9 +173,12 @@ def scc(
             ).select("src", "dst"),
         )
 
-    # bounded exit: whatever remains unassigned keeps its own id
-    out = assigned.unionByName(verts.select("id", F.col("id").alias("scc")))
-    return out
+    # bounded exit: fabricating singleton labels here could split a real
+    # SCC — fail loudly instead (every round removes at least each class
+    # root's SCC, so hitting this means max_rounds is genuinely too small)
+    M.free(e)
+    M.free(verts)
+    raise RuntimeError(f"scc did not converge in {max_rounds} rounds")
 
 
 def scc_sizes(labels: DataFrame) -> DataFrame:

@@ -138,6 +138,11 @@ class ScatterGatherEngine:
     ) -> RunResult:
         max_iters = max_iters or algo.default_max_iters
         run_id = run_id or f"{algo.name}-{uuid.uuid4().hex[:8]}"
+        # a frontier algorithm converges on active_count == 0; opting out
+        # of stats would make converged() compare None == 0 forever
+        assert not (algo.uses_frontier and not algo.needs_stats), (
+            f"{algo.name}: uses_frontier requires needs_stats"
+        )
 
         # Auto-broadcast is poison inside the iteration loop: every
         # iteration is a fresh plan, so AQE re-serializes and re-ships the

@@ -237,6 +237,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         quality_features,
     )
 
+    def edgelist_scan(spark, sf):
+        # C1 literal form: SNAP text edge-list ingest (write+read roundtrip
+        # of the same edge multiset the SQL oracle defines)
+        from fog_spark.sources.edgelist import read_edgelist
+
+        return read_edgelist(spark, f"{_text_graph_dir(spark, sf)}/edges")
+
+    def adjlist_scan(spark, sf):
+        # C2 literal form: "src n dst1..dstn" adjacency-list text ingest
+        from fog_spark.sources.edgelist import read_adjlist
+
+        return read_adjlist(spark, f"{_text_graph_dir(spark, sf)}/adj")
+
     def graph_stats(spark, sf):
         s = G.graph_stats(_edges(spark, sf))
         return spark.createDataFrame(
@@ -463,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     return {
+        "edgelist_scan": edgelist_scan,
+        "adjlist_scan": adjlist_scan,
         "graph_stats": graph_stats,
         "out_degrees": out_degrees,
         "in_degrees": in_degrees,
@@ -535,6 +550,8 @@ SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT
 FROM r"""
 
     return {
+        "edgelist_scan": f"SELECT src, dst FROM ({EDGES})",
+        "adjlist_scan": f"SELECT src, dst FROM ({EDGES})",
         "graph_stats": f"""
 WITH e AS ({EDGES}), d AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src)
 SELECT (SELECT MIN(LEAST(src, dst)) FROM e) AS min_vertex_id,

@@ -81,6 +81,46 @@ def _sssp_milli_sql(rounds: int) -> str:
     )
 
 
+def _msf_milli_sql(rounds: int, tail: str) -> str:
+    """Unrolled Borůvka on the milli-weighted undirected graph, exactly
+    mirroring fog_spark.algos.msf: per round every component picks its
+    lightest incident edge under the strict total order (w, a, b) — which
+    makes the forest unique — then components contract via a recursive
+    min-label reachability CTE over the picked edges. 2^rounds >= initial
+    components guarantees termination; later rounds are no-ops on empty
+    CTEs. $FOREST in tail = UNION ALL of all rounds' picks."""
+    ctes = [
+        f"em AS MATERIALIZED ({EDGES_MILLI})",
+        "und AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+        "MIN(wm) AS w FROM em WHERE src <> dst GROUP BY 1, 2)",
+        "c0 AS MATERIALIZED (SELECT id, id AS comp FROM "
+        "(SELECT a AS id FROM und UNION SELECT b FROM und))",
+    ]
+    for k in range(rounds):
+        ctes += [
+            f"live{k} AS MATERIALIZED (SELECT u.a, u.b, u.w, x.comp AS ca, y.comp AS cb "
+            f"FROM und u JOIN c{k} x ON x.id = u.a JOIN c{k} y ON y.id = u.b "
+            f"WHERE x.comp <> y.comp)",
+            f"pick{k} AS MATERIALIZED (SELECT DISTINCT a, b, w, ca, cb FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b) AS rn FROM ("
+            f"SELECT ca AS c, a, b, w, ca, cb FROM live{k} "
+            f"UNION ALL SELECT cb, a, b, w, ca, cb FROM live{k})) WHERE rn = 1)",
+            f"m{k} AS MATERIALIZED (SELECT ca AS x, cb AS y FROM pick{k} "
+            f"UNION SELECT cb, ca FROM pick{k})",
+            f"reach{k}(c, lbl) AS (SELECT x, x FROM m{k} "
+            f"UNION SELECT m.y, r.lbl FROM reach{k} r JOIN m{k} m ON m.x = r.c)",
+            f"relbl{k} AS MATERIALIZED (SELECT c, MIN(lbl) AS lbl FROM reach{k} GROUP BY c)",
+            f"c{k + 1} AS MATERIALIZED (SELECT p.id, COALESCE(r.lbl, p.comp) AS comp "
+            f"FROM c{k} p LEFT JOIN relbl{k} r ON r.c = p.comp)",
+        ]
+    forest = " UNION ALL ".join(f"SELECT a, b, w FROM pick{k}" for k in range(rounds))
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f",\nforest AS MATERIALIZED ({forest})\n{tail}"
+    )
+
+
 def _lpa_sql(rounds: int) -> str:
     ctes = [
         f"e AS MATERIALIZED ({EDGES})",
@@ -353,8 +393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def msf_edges_milli(spark, sf):
         # Borůvka forest on the milli-weighted graph; weights are exact
-        # longs. No union-find in SQL -> rows-only driver check; the
-        # pytest Kruskal oracle (tests/test_msf.py) covers exactness.
+        # longs and the (w, a, b) total order makes the forest unique, so
+        # the unrolled-Borůvka DuckDB oracle hash-matches edge-for-edge
+        # (plus the pytest Kruskal oracle in tests/test_msf.py).
         return _msf_forest(spark, sf).select(
             "a", "b", F.col("w").cast("long").alias("w_milli")
         )
@@ -624,6 +665,14 @@ reach(id, lvl) AS (
 )
 SELECT id, CAST(MIN(lvl) AS BIGINT) AS level FROM reach GROUP BY id""",
         "sssp16_milli": _sssp_milli_sql(16),
+        "msf_edges_milli": _msf_milli_sql(
+            16, "SELECT a, b, CAST(w AS BIGINT) AS w_milli FROM forest"
+        ),
+        "msf_total_weight_milli": _msf_milli_sql(
+            16,
+            "SELECT CAST(SUM(w) AS BIGINT) AS total_w_milli, "
+            "CAST(COUNT(*) AS BIGINT) AS n_edges FROM forest",
+        ),
         "scc_labels": f"""
 WITH RECURSIVE e0 AS MATERIALIZED ({EDGES}),
 e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),

@@ -457,7 +457,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_md5_candidates(_docs(spark, sf), num_hashes=8, bands=4, shingle_n=3)
 
     def jaccard_pairs(spark, sf):
-        return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.2, shingle_n=3)
+        # df cap 50: a near-universal shingle would otherwise cost
+        # O(df^2) self-join rows (mirrored in the oracle)
+        return ngram_jaccard_pairs(
+            _docs(spark, sf), threshold=0.2, shingle_n=3, max_shingle_df=50
+        )
 
     def simhash_pairs(spark, sf):
         # xxhash64-based: not portable to the DuckDB oracle -> rows-only check
@@ -757,7 +761,9 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.do
         "jaccard_pairs": f"""
 WITH t0 AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 t AS (SELECT doc_id, {shingles} AS sh FROM t0 WHERE len(toks) >= 3),
-ex AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+ex0 AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+keep AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 50),
+ex AS (SELECT ex0.* FROM ex0 JOIN keep ON keep.s = ex0.s),
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -164,14 +164,31 @@ def minhash_md5_candidates(
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, text_col: str = "text",
     id_col: str = "doc_id", shingle_n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing >=1 shingle:
     (id_a, id_b, jaccard). The shingle self-join IS the candidate filter —
-    disjoint docs never meet."""
+    disjoint docs never meet.
+
+    ``max_shingle_df`` caps shingle document frequency BEFORE the
+    self-join: a shingle shared by k docs contributes k^2/2 join rows, so
+    one stop-shingle in 10^6 docs would explode to ~10^12 rows. Capped
+    runs drop such shingles from BOTH the intersection and the per-doc
+    sizes (the similarity signal of a near-universal shingle is ~zero, the
+    standard corpus-dedup tradeoff); results stay deterministic and
+    oracle-expressible since df is a deterministic aggregate."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingle_col(F.col(text_col), shingle_n))).alias("sh"),
     )
+    if max_shingle_df is not None:
+        df_ok = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(df_ok, "sh")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         sh.select(F.col("id").alias("id_a"), "sh")

@@ -92,6 +92,27 @@ def test_ngram_jaccard_pairs_oracle(spark, docs):
         assert abs(got[k] - want[k]) < 1e-9
 
 
+def test_jaccard_shingle_df_cap(spark):
+    # every doc shares one planted stop-shingle; unrelated tails. Uncapped,
+    # the stop-shingle makes ALL pairs candidates (O(n^2)); with the cap it
+    # is dropped from intersections AND sizes, so only the true dup pair
+    # (identical tails) survives with jaccard 1.0.
+    n = 40
+    stop = "common common common"
+    rows = [(i, f"{stop} tail{i} a{i} b{i} c{i} d{i}") for i in range(n - 1)]
+    rows.append((n - 1, f"{stop} tail0 a0 b0 c0 d0"))  # dup of doc 0
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(d, threshold=0.0, shingle_n=3)
+    assert uncapped.count() == n * (n - 1) // 2  # quadratic blowup
+    capped = ngram_jaccard_pairs(
+        d, threshold=0.0, shingle_n=3, max_shingle_df=5
+    ).collect()
+    # shingles containing only 'common' tokens have df=n > 5 -> dropped;
+    # 'common common tailX'-style shingles are per-doc (df<=2) -> kept
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(0, n - 1)}
+    assert capped[0]["jaccard"] == 1.0
+
+
 def test_minhash_lsh_finds_exact_dups(spark, docs):
     # exact duplicates must always share every band
     dup = docs.limit(20).union(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fog_spark.plans.engine import Algorithm
+from fog_spark.plans.engine import Algorithm, scatter_join
 
 
 class ConnectedComponents(Algorithm):
@@ -36,7 +36,7 @@ class ConnectedComponents(Algorithm):
 
     def messages(self, active_state: DataFrame, adj: DataFrame) -> DataFrame:
         return (
-            active_state.join(adj, active_state["id"] == adj["src"])
+            scatter_join(active_state, adj)
             .select(F.explode("dsts").alias("dst"), F.col("component").alias("comp"))
         )
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fog_spark.plans.engine import Algorithm
+from fog_spark.plans.engine import Algorithm, scatter_join
 
 
 class LabelPropagation(Algorithm):
@@ -30,7 +30,7 @@ class LabelPropagation(Algorithm):
 
     def messages(self, active_state: DataFrame, adj: DataFrame) -> DataFrame:
         return (
-            active_state.join(adj, active_state["id"] == adj["src"])
+            scatter_join(active_state, adj)
             .select(F.explode("dsts").alias("dst"), F.col("label"))
         )
 

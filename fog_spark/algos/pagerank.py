@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fog_spark.plans.engine import Algorithm
+from fog_spark.plans.engine import Algorithm, scatter_join
 
 
 class FogPageRank(Algorithm):
@@ -46,7 +46,7 @@ class FogPageRank(Algorithm):
     def messages(self, active_state: DataFrame, adj: DataFrame) -> DataFrame:
         contrib = self.d * F.col("rank") / F.col("outdeg") + (1.0 - self.d)
         return (
-            active_state.join(adj, active_state["id"] == adj["src"])
+            scatter_join(active_state, adj)
             .select(F.explode("dsts").alias("dst"), contrib.alias("contrib"))
         )
 
@@ -103,7 +103,7 @@ class FogPageRankMilli(Algorithm):
     def messages(self, active_state: DataFrame, adj: DataFrame) -> DataFrame:
         contrib = F.expr("(850 * rank_milli) div (1000 * outdeg) + 150000")
         return (
-            active_state.join(adj, active_state["id"] == adj["src"])
+            scatter_join(active_state, adj)
             .select(F.explode("dsts").alias("dst"), contrib.alias("contrib"))
         )
 
@@ -153,7 +153,7 @@ class StandardPageRank(Algorithm):
 
     def messages(self, active_state: DataFrame, adj: DataFrame) -> DataFrame:
         return (
-            active_state.join(adj, active_state["id"] == adj["src"])
+            scatter_join(active_state, adj)
             .select(
                 F.explode("dsts").alias("dst"),
                 (F.col("rank") / F.col("outdeg")).alias("contrib"),

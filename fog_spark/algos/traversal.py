@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fog_spark.plans.engine import Algorithm
+from fog_spark.plans.engine import Algorithm, scatter_join
 
 INF = float("inf")
 UNREACHED_LEVEL = (1 << 62)
@@ -39,7 +39,7 @@ class BFS(Algorithm):
 
     def messages(self, active_state: DataFrame, adj: DataFrame) -> DataFrame:
         return (
-            active_state.join(adj, active_state["id"] == adj["src"])
+            scatter_join(active_state, adj)
             .select(F.explode("dsts").alias("dst"), (F.col("level") + 1).alias("lvl"))
         )
 
@@ -83,7 +83,7 @@ class SSSP(Algorithm):
     def messages(self, active_state: DataFrame, adj: DataFrame) -> DataFrame:
         dw = F.explode(F.arrays_zip("dsts", "weights")).alias("dw")
         return (
-            active_state.join(adj, active_state["id"] == adj["src"])
+            scatter_join(active_state, adj)
             .select(F.col("id").alias("u"), F.col("dist"), dw)
             .select(
                 F.col("dw.dsts").alias("dst"),

@@ -41,6 +41,23 @@ from fog_spark.plans.checkpoint import CheckpointStore
 from fog_spark.plans.materialize import Materializer
 
 
+def scatter_join(active_state: DataFrame, adj: DataFrame) -> DataFrame:
+    """The shared scatter join: state rows meet their (salted) adjacency
+    chunks. When the engine has expanded the state with ``_salt`` (one row
+    per hub chunk, from the broadcast hub-salt map), the join carries BOTH
+    keys, so the adjacency's pinned hash(src, salt) layout satisfies the
+    join's distribution requirement — hub chunks are spread across
+    partitions AND the adjacency is never re-shuffled. Without ``_salt``
+    (engines/tests running unsalted) it degrades to the plain src join."""
+    if "_salt" in active_state.columns:
+        cond = (active_state["id"] == adj["src"]) & (
+            active_state["_salt"] == adj["salt"]
+        )
+    else:
+        cond = active_state["id"] == adj["src"]
+    return active_state.join(adj, cond)
+
+
 class Algorithm:
     """Vertex-program surface — the analog of FOG's compile-time template
     API ``init / scatter_one_edge / gather_one_update / after_iteration``
@@ -118,13 +135,51 @@ class ScatterGatherEngine:
         elif not algo.include_self_loops:
             e = e.where(F.col("src") != F.col("dst"))
         adj = G.build_adjacency(e, hub_cap=self.hub_cap, with_weights=algo.needs_weights)
-        # Pin the physical layout once: hash-partition + sort by the join
-        # key so every iteration's scatter join reuses this exchange
+        # Pin the physical layout once: hash-partition + sort by the FULL
+        # scatter-join key (src, salt) so every iteration's scatter join
+        # reuses this exchange AND hub chunks land on different partitions
         # (the resident CSR analog — FOG mmaps .edge once,
-        # index_vert_array.cpp:31-73).
+        # index_vert_array.cpp:31-73; hub spreading replaces its work
+        # stealing, fog_engine.cpp:819-1011).
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        adj = adj.repartition(n, "src").sortWithinPartitions("src")
+        adj = adj.repartition(n, "src", "salt").sortWithinPartitions("src", "salt")
         return adj.persist()
+
+    def _hub_salts(self, adj: DataFrame) -> DataFrame | None:
+        """(id, _salts) for hub sources only — the chunks each state row
+        must be replicated to. Hubs are rare by construction (outdeg >
+        hub_cap), so this is a small broadcastable dim; materialized once
+        so the per-iteration expansion join reads cached blocks instead of
+        re-aggregating the adjacency."""
+        if self.hub_cap is None:
+            return None
+        hubs = (
+            adj.groupBy(F.col("src").alias("id"))
+            .agg(F.collect_set("salt").alias("_salts"))
+            .where(F.size("_salts") > 1)
+        )
+        hubs = self.mat.checkpoint(hubs)
+        if hubs.isEmpty():
+            self.mat.free(hubs)
+            return None
+        return hubs
+
+    @staticmethod
+    def _expand_salts(state: DataFrame, hub_salts: DataFrame | None) -> DataFrame:
+        """One state row per adjacency chunk: hubs fan out to their salt
+        set (broadcast join + explode), everything else gets salt 0."""
+        if hub_salts is None:
+            return state
+        return (
+            state.join(F.broadcast(hub_salts), "id", "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.coalesce("_salts", F.array(F.lit(0).cast("int")))
+                ),
+            )
+            .drop("_salts")
+        )
 
     # ------------------------------------------------------------- run
     def run(
@@ -180,6 +235,17 @@ class ScatterGatherEngine:
         vertices: DataFrame | None,
     ) -> RunResult:
         adj = self._prepare_adjacency(algo, edges)
+        hub_salts = self._hub_salts(adj)
+        # static per-partition edge counts (the lineage edge_count field —
+        # FOG's per-strip edge metric): one job, reused every iteration
+        adj_edge_counts: dict[int, int] = {}
+        if self.collect_lineage:
+            adj_edge_counts = {
+                int(r["pid"]): int(r["ec"])
+                for r in adj.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.sum(F.size("dsts")).alias("ec"))
+                .collect()
+            }
         if vertices is None:
             vertices = G.vertex_ids(edges)
         else:
@@ -197,6 +263,8 @@ class ScatterGatherEngine:
                 history = meta.get("history", [])
                 if meta.get("converged"):
                     adj.unpersist()
+                    if hub_salts is not None:
+                        self.mat.free(hub_salts)
                     return RunResult(state, run_id, latest, True, history)
                 start_iter = latest + 1
 
@@ -213,6 +281,7 @@ class ScatterGatherEngine:
         for it in range(start_iter, max_iters + 1):
             t0 = time.monotonic()
             active = state.where(F.col("_active")) if algo.uses_frontier else state
+            active = self._expand_salts(active, hub_salts)
             if (
                 algo.uses_frontier
                 and prev_active is not None
@@ -221,20 +290,22 @@ class ScatterGatherEngine:
                 active = F.broadcast(active)
 
             msgs = algo.messages(active, adj)
-            gathered = algo.gather(msgs)
 
             total_msgs = 0
             if self.collect_lineage:
-                # lineage needs per-partition message counts -> cache the
-                # gather output so the collect and apply share one compute
-                gathered = gathered.persist()
+                # lineage measures SCATTER-side (map) partition counts —
+                # the strip metric FOG records and the one hub salting
+                # balances; cache msgs so the count and gather share one
+                # compute of the scatter join
+                msgs = msgs.persist()
                 parts = (
-                    gathered.groupBy(F.spark_partition_id().alias("pid"))
-                    .agg(F.sum("_n_msgs").alias("mc"))
+                    msgs.groupBy(F.spark_partition_id().alias("pid"))
+                    .agg(F.count("*").alias("mc"))
                     .collect()
                 )
                 total_msgs = sum(int(r["mc"]) for r in parts)
 
+            gathered = algo.gather(msgs)
             new_state = algo.apply(state, gathered.drop("_n_msgs"))
 
             durable = (
@@ -274,10 +345,18 @@ class ScatterGatherEngine:
             if self.collect_lineage:
                 wall = stats["wall_time_ms"]
                 self.store.append_lineage([
-                    (run_id, algo.name, it, int(r["pid"]), int(r["mc"]), int(r["mc"]), wall)
+                    (
+                        run_id,
+                        algo.name,
+                        it,
+                        int(r["pid"]),
+                        adj_edge_counts.get(int(r["pid"]), 0),
+                        int(r["mc"]),
+                        wall,
+                    )
                     for r in parts
                 ])
-                gathered.unpersist()
+                msgs.unpersist()
 
             if durable and self.store is not None:
                 self._write_meta(algo, run_id, it, history, converged)
@@ -292,6 +371,8 @@ class ScatterGatherEngine:
             state = new_state
 
         adj.unpersist()
+        if hub_salts is not None:
+            self.mat.free(hub_salts)
         return RunResult(state, run_id, it, converged, history)
 
     # --------------------------------------------------------- helpers

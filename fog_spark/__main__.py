@@ -1,0 +1,177 @@
+"""Unified run CLI — the analog of the reference's ``fog`` binary
+(``fog -g graph.desc -a pagerank --pagerank::niters 10``,
+/root/reference/headers/options_utils.h:22-70), Spark-first::
+
+    python -m fog_spark --algo pagerank --edges edges.parquet \
+        --pagerank-niters 10 --output out/ --checkpoint ckpt/
+
+Flag parity map (reference -> here): ``-g/--graph`` -> ``--edges`` +
+``--format`` (the .desc/.edge/.index bundle is an edge table here);
+``-a/--application`` -> ``--algo``; ``-p/--processors`` -> ``--cores``
+(plus ``--shuffle-partitions``, the strip-count analog); ``-m/--memory``
+-> Spark executor memory, not a CLI concern; ``--pagerank::niters`` ->
+``--pagerank-niters``; ``--sssp::source`` -> ``--sssp-source``;
+``--bfs::bfs-root`` -> ``--bfs-root``; ``-i/--in-edge`` is implicit
+(each algorithm declares the adjacency direction it needs).
+
+On a cluster the same module runs via
+``spark-submit --py-files fog_spark.zip -m fog_spark ...`` — the session
+factory only adds local[] defaults when no master is configured.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ALGOS = (
+    "pagerank",
+    "pagerank-milli",
+    "standard-pagerank",
+    "cc",
+    "bfs",
+    "sssp",
+    "lpa",
+    "scc",
+    "msf",
+    "triangles",
+    "spmv",
+    "stats",
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m fog_spark",
+        description="Link-graph analytics over an edge table (FOG, Spark-first).",
+    )
+    p.add_argument("--algo", "-a", required=True, choices=ALGOS)
+    p.add_argument("--edges", "-g", required=True,
+                   help="edge table path (parquet dir, SNAP edge-list/adj-list text, or pages parquet)")
+    p.add_argument("--format", choices=("parquet", "edgelist", "adjlist", "pages"),
+                   default="parquet")
+    p.add_argument("--weighted", action="store_true",
+                   help="edgelist only: parse a third weight column")
+    p.add_argument("--hash-weights", action="store_true",
+                   help="attach deterministic hash weights (FIXTURES F2 rule)")
+    p.add_argument("--output", "-o", default=None,
+                   help="write the result DataFrame as parquet here; default prints 20 rows")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint/lineage/resume root (engine algorithms)")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--cores", "-p", type=int, default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--hub-cap", type=int, default=None,
+                   help="salt adjacency rows above this out-degree (default engine setting)")
+    p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--pagerank-niters", type=int, default=10)
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--sssp-source", type=int, default=0)
+    p.add_argument("--bfs-root", type=int, default=0)
+    p.add_argument("--lpa-iters", type=int, default=5)
+    return p
+
+
+def load_edges(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
+    from fog_spark.sources.edgelist import read_adjlist, read_edgelist, with_hash_weights
+
+    if args.format == "parquet":
+        e = spark.read.parquet(args.edges)
+    elif args.format == "edgelist":
+        e = read_edgelist(spark, args.edges, weighted=args.weighted)
+    elif args.format == "adjlist":
+        e = read_adjlist(spark, args.edges)
+    else:  # pages: extract outlinks from the html column (north-rule path)
+        from fog_spark.functions.extract import edges_from_pages
+
+        pages = spark.read.parquet(args.edges)
+        return edges_from_pages(pages, weighted=args.hash_weights)
+    if args.hash_weights and "weight" not in e.columns:
+        e = with_hash_weights(e)
+    return e
+
+
+def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
+    from fog_spark import graph as G
+    from fog_spark.algos import (
+        BFS,
+        SSSP,
+        ConnectedComponents,
+        FogPageRank,
+        FogPageRankMilli,
+        LabelPropagation,
+        StandardPageRank,
+        msf,
+        scc,
+        spmv,
+        triangles,
+    )
+    from fog_spark.plans.engine import ScatterGatherEngine
+
+    e = load_edges(spark, args)
+
+    if args.algo == "stats":
+        s = G.graph_stats(e)
+        return spark.createDataFrame(
+            [tuple(s.values())], ", ".join(f"{k} long" for k in s)
+        )
+    if args.algo == "scc":
+        return scc(e)
+    if args.algo == "msf":
+        return msf(e)
+    if args.algo == "triangles":
+        return triangles(e)
+    if args.algo == "spmv":
+        return spmv(e)
+
+    algo = {
+        "pagerank": lambda: FogPageRank(niters=args.pagerank_niters, damping=args.damping),
+        "pagerank-milli": lambda: FogPageRankMilli(niters=args.pagerank_niters),
+        "standard-pagerank": lambda: StandardPageRank(
+            niters=args.pagerank_niters, damping=args.damping
+        ),
+        "cc": ConnectedComponents,
+        "bfs": lambda: BFS(root=args.bfs_root),
+        "sssp": lambda: SSSP(source=args.sssp_source),
+        "lpa": lambda: LabelPropagation(max_iters=args.lpa_iters),
+    }[args.algo]()
+    kw = {}
+    if args.hub_cap is not None:
+        kw["hub_cap"] = args.hub_cap
+    eng = ScatterGatherEngine(spark, checkpoint_dir=args.checkpoint, **kw)
+    res = eng.run(
+        algo,
+        e,
+        max_iters=args.max_iters,
+        run_id=args.run_id,
+        resume=not args.no_resume,
+    )
+    out = res.state
+    return out.drop("_active") if "_active" in out.columns else out
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from fog_spark.session import get_spark
+
+        spark = get_spark(
+            app_name=f"fog_spark:{args.algo}",
+            cores=args.cores,
+            shuffle_partitions=args.shuffle_partitions,
+        )
+    result = run(args, spark)
+    if args.output:
+        result.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        result.orderBy(*[F.col(c) for c in result.columns[:1]]).show(20, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

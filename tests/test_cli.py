@@ -1,0 +1,58 @@
+"""CLI smoke tests — the `fog -g ... -a ...` analog
+(/root/reference/headers/options_utils.h:22-70)."""
+
+from fog_spark.__main__ import build_parser, main, run
+from tests.conftest import make_edges_df
+from tests import graphs as GX
+
+
+def test_cli_pagerank_and_stats(spark, tmp_path):
+    edges, n = GX.ALL_GRAPHS["two_triangles"]
+    elist = "\n".join(f"{s} {d}" for s, d in edges) + "\n"
+    src = tmp_path / "g.txt"
+    src.write_text(elist)
+    out = tmp_path / "pr_out"
+    rc = main(
+        [
+            "--algo", "pagerank", "--edges", str(src), "--format", "edgelist",
+            "--pagerank-niters", "2", "--output", str(out),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {r["id"]: r["rank"] for r in spark.read.parquet(str(out)).collect()}
+    want = GX.fog_pagerank_oracle(edges, n, iters=2)
+    # vertices derive from the edge file; isolated vertex 6 is absent (it
+    # contributes no messages, so present ranks are unaffected)
+    assert set(got) == {v for e in edges for v in e}
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+    stats = run(
+        build_parser().parse_args(
+            ["--algo", "stats", "--edges", str(src), "--format", "edgelist"]
+        ),
+        spark,
+    ).collect()[0]
+    assert stats["num_edges"] == len(edges)
+    assert stats["max_vertex_id"] == max(v for e in edges for v in e)
+
+
+def test_cli_cc_resume_checkpoint(spark, tmp_path):
+    edges, n = GX.ALL_GRAPHS["two_triangles"]
+    e = make_edges_df(spark, edges)
+    pq = tmp_path / "edges_pq"
+    e.write.mode("overwrite").parquet(str(pq))
+    args = [
+        "--algo", "cc", "--edges", str(pq),
+        "--checkpoint", str(tmp_path / "ckpt"), "--run-id", "cli-cc",
+        "--output", str(tmp_path / "cc_out"),
+    ]
+    assert main(args, spark=spark) == 0
+    # second invocation resumes from the converged checkpoint
+    assert main(args, spark=spark) == 0
+    got = {r["id"]: r["component"] for r in spark.read.parquet(str(tmp_path / "cc_out")).collect()}
+    want = GX.cc_oracle(edges, n)
+    present = {v for e in edges for v in e}  # isolated vertex 6 not in edge table
+    assert set(got) == present
+    assert all(got[v] == want[v] for v in present)

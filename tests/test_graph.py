@@ -49,6 +49,34 @@ def test_salted_hub_split(spark):
     assert max(len(r["dsts"]) for r in hub_rows) <= 9  # chunks bounded-ish (hash split)
 
 
+def test_write_edges_sorted_layout(spark, tmp_path):
+    """C5: the src-sorted range-partitioned writer (the .edge file layout,
+    process_edgelist.cpp:118-126) — roundtrip plus physical ordering."""
+    e = make_edges_df(spark, [((i * 37) % 50, (i * 11) % 50) for i in range(200)])
+    path = str(tmp_path / "sorted_edges")
+    G.write_edges_sorted(e, path, partitions=4)
+    back = spark.read.parquet(path)
+    assert sorted(map(tuple, back.select("src", "dst", "weight").collect())) == sorted(
+        map(tuple, e.collect())
+    )
+    # each parquet file is internally src-sorted, and files cover disjoint
+    # src ranges (range partitioning) — vid locality like FOG's .edge
+    import os
+
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) > 1
+    ranges = []
+    for f in sorted(files):
+        rows = spark.read.parquet(os.path.join(path, f)).select("src").collect()
+        srcs = [r["src"] for r in rows]
+        assert srcs == sorted(srcs), f"{f} not src-sorted"
+        if srcs:
+            ranges.append((min(srcs), max(srcs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file src ranges overlap"
+
+
 def test_symmetrize(spark):
     e = make_edges_df(spark, [(0, 1), (1, 0), (1, 1), (2, 1)])
     sym = sorted(tuple(r) for r in G.symmetrize(e).collect())

@@ -10,10 +10,17 @@ a crash restarts the algorithm.
 
 Storage is parquet-directory-per-iteration with a ``_meta.json`` commit
 marker written only after the parquet write succeeds (write-then-commit,
-same recovery discipline as an Iceberg snapshot commit). On a cluster this
-store would be two Iceberg tables (state, lineage) with
-``partition spec = (run_id, iteration)``; the interface is format-agnostic
-so that swap is local to this file.
+same recovery discipline as an Iceberg snapshot commit).
+
+Why not Iceberg *here*: this container ships no iceberg-spark-runtime jar
+(see ``iceberg_available``) and has no network/package installs, so an
+Iceberg writer could not even be smoke-tested — shipping one untested
+would be worse than the documented fallback. On a cluster the swap is
+local to this file: create the two tables from ``ICEBERG_STATE_DDL`` /
+``ICEBERG_LINEAGE_DDL`` and replace the parquet writes with
+``writeTo(...).append()`` — the commit marker disappears because Iceberg
+snapshot commits are already atomic, and ``latest_complete`` becomes a
+``MAX(iteration)`` over committed snapshots.
 """
 
 from __future__ import annotations
@@ -29,6 +36,39 @@ LINEAGE_SCHEMA = (
     "run_id string, algorithm string, iteration int, partition_id int, "
     "edge_count long, message_count long, wall_time_ms long"
 )
+
+# Cluster DDL (SURVEY §1.4): the exact tables this store maps onto when an
+# Iceberg catalog is configured. State rows append per (run_id, iteration)
+# snapshot; resume reads the latest committed snapshot's max iteration.
+ICEBERG_STATE_DDL = """
+CREATE TABLE IF NOT EXISTS {catalog}.fog.checkpoint_state (
+  run_id string, algorithm string, iteration int,
+  id bigint, state_json string
+) USING iceberg PARTITIONED BY (run_id, bucket(64, id))"""
+ICEBERG_LINEAGE_DDL = """
+CREATE TABLE IF NOT EXISTS {catalog}.fog.lineage (
+  run_id string, algorithm string, iteration int, partition_id int,
+  edge_count bigint, message_count bigint, wall_time_ms bigint
+) USING iceberg PARTITIONED BY (run_id)"""
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff an Iceberg catalog is configured AND its runtime classes
+    load in this JVM. This sandbox has neither (no iceberg-spark-runtime
+    jar, no network to fetch one), so the store below is the documented
+    parquet + commit-marker fallback."""
+    confs = spark.sparkContext.getConf().getAll()
+    has_catalog = any(
+        k.startswith("spark.sql.catalog.") and "iceberg" in v.lower()
+        for k, v in confs
+    )
+    if not has_catalog:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
 
 
 class CheckpointStore:

@@ -89,6 +89,14 @@ def _f4_edges(spark, n):
     return hub[0].unionByName(hub[1]).unionByName(rest)
 
 
+def test_iceberg_detection_honest(spark):
+    """The sandbox has no Iceberg runtime; the store must say so rather
+    than pretend (SURVEY §1.4 fallback contract)."""
+    from fog_spark.plans.checkpoint import iceberg_available
+
+    assert iceberg_available(spark) is False
+
+
 def test_salted_equals_unsalted(spark):
     """F4 (results half): hub splitting changes the physical plan, not
     the results — checked at n=1000 per the fixture spec."""

@@ -483,6 +483,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "probe_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
         )
 
+    def ivf_ann_topk_ids(spark, sf):
+        # IVF: kmeans codebook (hash-seeded, fixed Lloyd sweeps) -> probes
+        # scan nprobe/ncells of the corpus. Float kmeans isn't
+        # SQL-portable -> rows-only; pytest checks recall + determinism.
+        from fog_spark.operators.similarity import ivf_ann_topk
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        probes = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        return ivf_ann_topk(emb, probes, k=5, ncells=8, nprobe=3).select(
+            "probe_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+
     def cosine_topk_ids(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         probes = emb.where(F.col("vec_id") < 5).select(
@@ -553,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": jaccard_pairs,
         "simhash_pairs": simhash_pairs,
         "lsh_ann_topk_ids": lsh_ann_topk_ids,
+        "ivf_ann_topk_ids": ivf_ann_topk_ids,
         "cosine_topk_ids": cosine_topk_ids,
         "user_event_stats": user_event_stats,
         "segment_revenue": segment_revenue,

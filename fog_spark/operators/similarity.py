@@ -55,6 +55,139 @@ def cosine_topk(
     )
 
 
+def _unit(a: Column) -> Column:
+    n = _norm(a)
+    return F.transform(a, lambda x: x.cast("double") / F.when(n > 0, n).otherwise(F.lit(1.0)))
+
+
+def ivf_train(
+    corpus: DataFrame, ncells: int = 64, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    train_cap: int = 100_000,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer; returns the centroid list
+    (driver-side: ncells x dim doubles — a few MB at most, the classic
+    IVF codebook that ships to every executor as literals).
+
+    Deterministic: seeds are the ``ncells`` hash-smallest vectors, Lloyd
+    runs a fixed ``iters`` sweeps. Trains on a hash-sampled subset capped
+    at ``train_cap`` rows — quantizer quality needs a sample, not the
+    corpus (standard IVF practice), so training cost is O(train_cap *
+    ncells) regardless of corpus size."""
+    n = corpus.count()
+    frac_mod = max(1, n // train_cap)
+    train = (
+        corpus.where(pmod(F.xxhash64(F.col(id_col)), F.lit(frac_mod)) == 0)
+        .select(F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("v"))
+    )
+    train = train.persist()
+    seeds = (
+        train.orderBy(pmod(F.xxhash64(F.col("id") * 31 + 7), F.lit(1 << 20)), "id")
+        .limit(ncells)
+        .collect()
+    )
+    cents = [list(r["v"]) for r in seeds]
+    for _ in range(iters):
+        lit_cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+        cell = _best_cell(F.col("v"), lit_cents, len(cents))
+        sums = (
+            train.select(cell.alias("cell"), F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda st: st["s"],
+                ).alias("sum_v"),
+            )
+            .collect()
+        )
+        by_cell = {int(r["cell"]): r["sum_v"] for r in sums}
+        new_cents = []
+        for j, old in enumerate(cents):
+            sv = by_cell.get(j)
+            if sv is None:  # empty cell keeps its seed
+                new_cents.append(old)
+                continue
+            norm = sum(x * x for x in sv) ** 0.5 or 1.0
+            new_cents.append([x / norm for x in sv])
+        cents = new_cents
+    train.unpersist()
+    return cents
+
+
+def _best_cell(vec: Column, lit_cents: Column, ncells: int) -> Column:
+    """argmax_j dot(vec, centroid_j) as one codegen'd expression — zero
+    shuffle, zero join for assignment (ties -> smallest j via the
+    lexicographic struct max over (dot, -j))."""
+    dots = F.transform(
+        F.sequence(F.lit(0), F.lit(ncells - 1)),
+        lambda j: _dot(vec, F.element_at(lit_cents, j + 1)),
+    )
+    # first occurrence of the max -> smallest j on ties (struct field
+    # names don't survive transform lambdas, hence position not max_by)
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_ann_topk(
+    corpus: DataFrame, probes: DataFrame, k: int = 10, ncells: int = 64,
+    nprobe: int = 4, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    k-means centroid (one pass, expression-only assignment), probes visit
+    their ``nprobe`` nearest cells, exact cosine reranks inside. The
+    probe-cell join is an equi-join on cell with the probe side broadcast,
+    so cost is O(|corpus| * nprobe / ncells) per probe instead of
+    O(|corpus|) — the scan-fraction knob the LSH variant lacks. Same
+    output schema as cosine_topk."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_train(corpus, ncells, iters, id_col, vec_col)
+    lit_cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    nc = len(centroids)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _best_cell(_unit(F.col(vec_col)), lit_cents, nc).alias("cell"),
+    )
+    # probes: top-nprobe cells each (probe count is small; window is fine)
+    pc = (
+        probes.select("probe_id", F.col(vec_col).alias("pv"))
+        .select(
+            "probe_id", "pv",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(nc - 1)),
+                    lambda j: F.struct(
+                        j.cast("int").alias("cell"),
+                        _dot(_unit(F.col("pv")), F.element_at(lit_cents, j + 1)).alias("cd"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("probe_id", "pv", "e.cell", "e.cd")
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.col("cd").desc(), F.col("cell"))
+    pc = pc.withColumn("_r", F.row_number().over(wp)).where(F.col("_r") <= nprobe)
+
+    cand = (
+        c.join(F.broadcast(pc.select("probe_id", "pv", "cell")), "cell")
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+    )
+    sim = cand.select(
+        "probe_id",
+        "neighbor_id",
+        (_dot(F.col("cv"), F.col("pv")) / (_norm(F.col("cv")) * _norm(F.col("pv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def _plane_component(p: Column, d: Column) -> Column:
     """Deterministic pseudo-random plane component in [-1, 1):
     hash-derived, reproducible across runs and languages."""

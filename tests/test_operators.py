@@ -213,6 +213,31 @@ def test_lsh_ann_reasonable_recall(spark, emb):
     assert len(ap & ex) >= len(ex) * 0.2
 
 
+def test_ivf_ann_recall_beats_scan_fraction(spark, emb):
+    from fog_spark.operators.similarity import ivf_ann_topk, ivf_train
+
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = cosine_topk(emb, probes, k=5).collect()
+    cents = ivf_train(emb, ncells=8, iters=2)
+    assert len(cents) == 8
+    approx = ivf_ann_topk(
+        emb, probes, k=5, ncells=8, nprobe=3, centroids=cents
+    ).collect()
+    ex = {(r["probe_id"], r["neighbor_id"]) for r in exact}
+    ap = {(r["probe_id"], r["neighbor_id"]) for r in approx}
+    # scanning 3/8 of the corpus must recall well above 3/8 of the truth
+    # (cells group similar vectors) — and be deterministic
+    assert len(ap & ex) >= len(ex) * 0.5
+    again = ivf_ann_topk(
+        emb, probes, k=5, ncells=8, nprobe=3, centroids=cents
+    ).collect()
+    assert {(r["probe_id"], r["neighbor_id"], r["rank"]) for r in again} == {
+        (r["probe_id"], r["neighbor_id"], r["rank"]) for r in approx
+    }
+
+
 def test_multimodal_plumbing(spark):
     from fog_spark.operators.multimodal import (
         extract_features, frame_sample_plan, synth_media, FEATURE_DIM,

@@ -131,9 +131,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
     algo = {
         "pagerank": lambda: FogPageRank(niters=args.pagerank_niters, damping=args.damping),
         "pagerank-milli": lambda: FogPageRankMilli(niters=args.pagerank_niters),
-        "standard-pagerank": lambda: StandardPageRank(
-            niters=args.pagerank_niters, damping=args.damping
-        ),
+        "standard-pagerank": lambda: StandardPageRank(damping=args.damping),
         "cc": ConnectedComponents,
         "bfs": lambda: BFS(root=args.bfs_root),
         "sssp": lambda: SSSP(source=args.sssp_source),

@@ -135,28 +135,56 @@ class ScatterGatherEngine:
         elif not algo.include_self_loops:
             e = e.where(F.col("src") != F.col("dst"))
         adj = G.build_adjacency(e, hub_cap=self.hub_cap, with_weights=algo.needs_weights)
-        # Pin the physical layout once: hash-partition + sort by the FULL
-        # scatter-join key (src, salt) so every iteration's scatter join
-        # reuses this exchange AND hub chunks land on different partitions
-        # (the resident CSR analog — FOG mmaps .edge once,
-        # index_vert_array.cpp:31-73; hub spreading replaces its work
-        # stealing, fog_engine.cpp:819-1011).
+        # Pin the physical layout once so every iteration's scatter join
+        # reuses this exchange (the resident CSR analog — FOG mmaps .edge
+        # once, index_vert_array.cpp:31-73). With hubs present the pin key
+        # is the FULL scatter-join key (src, salt): hub chunks land on
+        # different partitions AND the join still needs no adjacency
+        # exchange, because the engine expands the state side with the
+        # matching per-row salt (hub spreading replaces FOG's work
+        # stealing, fog_engine.cpp:819-1011). Without hubs the pin key
+        # must be src alone — a constant state-side salt would be
+        # constant-folded out of the join keys, leaving a src-only join
+        # that hash(src, salt) does not satisfy, re-shuffling the
+        # adjacency every iteration.
+        hub_salts = None
+        if self.hub_cap is not None:
+            # cheap degree pre-check (map-side combinable agg, no
+            # collect_list) short-circuits the common no-hub case before
+            # paying for the salt-map aggregation over the adjacency
+            maxdeg = (
+                G.out_degrees(e).agg(F.max("outdeg").alias("m")).collect()[0]["m"]
+            )
+            if maxdeg and maxdeg > self.hub_cap:
+                hub_salts = self._hub_salts(adj)
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        adj = adj.repartition(n, "src", "salt").sortWithinPartitions("src", "salt")
-        return adj.persist()
+        # pin keys derive from hub_salts itself, never from the degree
+        # check alone: a degree-hub whose duplicate dsts collapse into a
+        # single salt chunk has no expansion row, and pinning such an
+        # adjacency by (src, salt) against a src-only join would
+        # re-shuffle it every iteration
+        keys = ["src", "salt"] if hub_salts is not None else ["src"]
+        adj = adj.repartition(n, *keys).sortWithinPartitions(*keys).persist()
+        return adj, hub_salts
 
     def _hub_salts(self, adj: DataFrame) -> DataFrame | None:
         """(id, _salts) for hub sources only — the chunks each state row
         must be replicated to. Hubs are rare by construction (outdeg >
         hub_cap), so this is a small broadcastable dim; materialized once
         so the per-iteration expansion join reads cached blocks instead of
-        re-aggregating the adjacency."""
+        re-aggregating the adjacency.
+
+        The filter keeps every src whose salt set is not exactly {0}: a
+        degree-hub whose (possibly duplicate) dsts all hash into one
+        NONZERO salt has a single chunk the default _salt=0 expansion
+        would never join — dropping it here silently loses all of that
+        hub's messages."""
         if self.hub_cap is None:
             return None
         hubs = (
             adj.groupBy(F.col("src").alias("id"))
             .agg(F.collect_set("salt").alias("_salts"))
-            .where(F.size("_salts") > 1)
+            .where((F.size("_salts") > 1) | (F.element_at("_salts", 1) != 0))
         )
         hubs = self.mat.checkpoint(hubs)
         if hubs.isEmpty():
@@ -167,7 +195,9 @@ class ScatterGatherEngine:
     @staticmethod
     def _expand_salts(state: DataFrame, hub_salts: DataFrame | None) -> DataFrame:
         """One state row per adjacency chunk: hubs fan out to their salt
-        set (broadcast join + explode), everything else gets salt 0."""
+        set (broadcast join + explode), everything else gets salt 0. With
+        no hubs the state passes through untouched and the scatter join
+        stays a plain src join against the src-pinned adjacency."""
         if hub_salts is None:
             return state
         return (
@@ -234,8 +264,7 @@ class ScatterGatherEngine:
         resume: bool,
         vertices: DataFrame | None,
     ) -> RunResult:
-        adj = self._prepare_adjacency(algo, edges)
-        hub_salts = self._hub_salts(adj)
+        adj, hub_salts = self._prepare_adjacency(algo, edges)
         # static per-partition edge counts (the lineage edge_count field —
         # FOG's per-strip edge metric): one job, reused every iteration
         adj_edge_counts: dict[int, int] = {}

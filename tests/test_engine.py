@@ -56,6 +56,31 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     assert resumed.history[0]["iteration"] == 4 or len(resumed.history) == 6
 
 
+def test_standard_pagerank_resume(spark, tmp_path):
+    """Resume must not depend on driver-held state (init_state is skipped
+    on the resume path — the round-1 self._n TypeError regression)."""
+    from fog_spark.algos import StandardPageRank
+
+    edges, n = GX.ALL_GRAPHS["two_triangles"]
+    e = make_edges_df(spark, edges)
+    v = _vertices(spark, n)
+    eng1 = ScatterGatherEngine(spark, checkpoint_dir=str(tmp_path / "a"))
+    full = eng1.run(StandardPageRank(), e, max_iters=6, run_id="s", vertices=v)
+    eng2 = ScatterGatherEngine(spark, checkpoint_dir=str(tmp_path / "b"))
+    eng2.run(StandardPageRank(), e, max_iters=3, run_id="s", vertices=v)
+    # fresh engine + fresh algorithm instance: resume path, no init_state
+    eng3 = ScatterGatherEngine(spark, checkpoint_dir=str(tmp_path / "b"))
+    resumed = eng3.run(StandardPageRank(), e, max_iters=6, run_id="s", vertices=v)
+    a = {r["id"]: r["rank"] for r in full.state.collect()}
+    b = {r["id"]: r["rank"] for r in resumed.state.collect()}
+    assert a.keys() == b.keys()
+    np.testing.assert_allclose(
+        [a[k] for k in sorted(a)], [b[k] for k in sorted(b)], rtol=0, atol=0
+    )
+    # ranks are a probability distribution (dangling mass redistributed)
+    assert abs(sum(a.values()) - 1.0) < 1e-9
+
+
 def test_resume_converged_run_is_noop(spark, tmp_path):
     edges, n = GX.ALL_GRAPHS["chain5"]
     e = make_edges_df(spark, edges)
@@ -107,6 +132,36 @@ def test_salted_equals_unsalted(spark):
     plain = ScatterGatherEngine(spark, hub_cap=None).run(FogPageRank(niters=3), e, vertices=v)
     a = {r["id"]: r["rank"] for r in salted.state.collect()}
     b = {r["id"]: r["rank"] for r in plain.state.collect()}
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9
+
+
+def test_collapsed_single_salt_hub_not_lost(spark):
+    """A degree-hub whose duplicate dsts all hash into ONE nonzero salt
+    has a single adjacency chunk at salt != 0. The hub-salt map must
+    still cover it: with the old size(_salts) > 1 filter the state row
+    expanded to _salt=0, never joined the salt-1 chunk, and the hub's
+    messages silently vanished."""
+    # xxhash64(2) is odd (pinned by fog_spark.hashing, Spark-exact), so
+    # with nchunks=2 every copy of dst=2 lands in salt chunk 1. Vertex 9
+    # is a genuine multi-salt hub: without one, the salt map is empty
+    # and the engine's src-only fallback join masks the bug.
+    edges = (
+        [(0, 2)] * 10
+        + [(9, d) for d in range(8)] * 2
+        + [(1, 2), (2, 3), (3, 1), (2, 0)]
+    )
+    e = make_edges_df(spark, edges)
+    v = _vertices(spark, 10)
+    salted = ScatterGatherEngine(spark, hub_cap=5).run(
+        FogPageRank(niters=3), e, vertices=v
+    )
+    plain = ScatterGatherEngine(spark, hub_cap=None).run(
+        FogPageRank(niters=3), e, vertices=v
+    )
+    a = {r["id"]: r["rank"] for r in salted.state.collect()}
+    b = {r["id"]: r["rank"] for r in plain.state.collect()}
+    assert a.keys() == b.keys()
     for k in a:
         assert abs(a[k] - b[k]) < 1e-9
 

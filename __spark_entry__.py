@@ -497,6 +497,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "probe_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
         )
 
+    def embedding_near_dup_pairs(spark, sf):
+        # exact all-pairs verifier (the oracle twin of the LSH-bucketed
+        # scale path). Pair ids only: cosine VALUES are raw IEEE doubles
+        # whose summation order an engine may reorder; the >= threshold
+        # decision is stable (min |cos - 0.4| is 1.3e-4 on the synthetic
+        # embeddings — far above fp noise) but the hash must not depend
+        # on the float bits. 0.4 yields ~60 pairs at sf0.01; higher
+        # thresholds match nothing on this corpus (max cosine 0.51).
+        from fog_spark.operators.similarity import embedding_near_dups_exact
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return embedding_near_dups_exact(emb, threshold=0.4).select("id_a", "id_b")
+
     def cosine_topk_ids(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         probes = emb.where(F.col("vec_id") < 5).select(
@@ -504,6 +517,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cosine_topk(emb, probes, k=5).select(
             "probe_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+
+    def media_features(spark, sf):
+        # multimodal plumbing through the driver gate: synth media ->
+        # mapInPandas fake-decode (Arrow batches). The fake features are
+        # payload bytes / 255, so their byte-sum is integer-exact and the
+        # sha256-derived payload is reproducible in DuckDB -> hash-checked
+        # (kind is xxhash64-derived, hence not part of the output).
+        from fog_spark.operators.multimodal import extract_features, synth_media
+
+        feats = extract_features(synth_media(spark, 200), fake=True)
+        byte_sum = F.round(
+            F.aggregate(
+                "feature", F.lit(0.0), lambda acc, v: acc + v.cast("double")
+            )
+            * 255.0
+        ).cast("long")
+        return feats.select(
+            "media_id",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            byte_sum.alias("feat_byte_sum"),
         )
 
     def user_event_stats(spark, sf):
@@ -568,7 +602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs,
         "lsh_ann_topk_ids": lsh_ann_topk_ids,
         "ivf_ann_topk_ids": ivf_ann_topk_ids,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "cosine_topk_ids": cosine_topk_ids,
+        "media_features": media_features,
         "user_event_stats": user_event_stats,
         "segment_revenue": segment_revenue,
     }
@@ -786,6 +822,13 @@ inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
 SELECT id_a, id_b, n / (sa.sz + sb.sz - n) AS jaccard
 FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
 WHERE n / (sa.sz + sb.sz - n) >= 0.2""",
+        "embedding_near_dup_pairs": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b FROM p WHERE cos >= 0.4""",
         "cosine_topk_ids": """
 WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe FROM embeddings WHERE vec_id < 5),
 s AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
@@ -797,6 +840,12 @@ r AS (SELECT probe_id, neighbor_id,
         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
       FROM s)
 SELECT probe_id, neighbor_id, rank FROM r WHERE rank <= 5""",
+        "media_features": """
+WITH m AS (SELECT range AS media_id, 'blob:' || sha256(CAST(range AS VARCHAR)) AS p
+           FROM range(200))
+SELECT media_id, CAST(length(p) AS BIGINT) AS n_bytes,
+  CAST(list_sum([ascii(substr(p, i, 1)) for i in range(1, 17)]) AS BIGINT) AS feat_byte_sum
+FROM m""",
         "user_event_stats": """
 WITH top AS (
   SELECT user_id, event_id AS top_event_id FROM (

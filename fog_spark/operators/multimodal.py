@@ -104,6 +104,24 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, _FEATURE_SCHEMA)
 
 
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image/video resize plumbing: target dims preserving aspect ratio,
+    capped at ``max_side`` (never upscaled) — pure Column math; the pixel
+    resample itself plugs into the decode stage of extract_features."""
+    m = media.where(F.col("kind").isin("image", "video"))
+    longest = F.greatest("width", "height").cast("double")
+    scale = F.least(F.lit(1.0), max_side / longest)
+    return m.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        scale.alias("scale"),
+        F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1)).alias("out_w"),
+        F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1)).alias("out_h"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one row per planned frame
     (media_id, frame_idx, ts_ms) — pure Column math, the decoder-side

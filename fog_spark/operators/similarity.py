@@ -188,6 +188,71 @@ def ivf_ann_topk(
     return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def embedding_near_dups_exact(
+    emb: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a < id_b, cosine) for every pair with cosine >= threshold —
+    exact all-pairs verifier (O(N^2)/2; the small-scale oracle twin of
+    :func:`embedding_near_dups`, same role the exact Jaccard plays for
+    MinHash). Norms are precomputed once per side."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold)
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, nplanes: int = 8, ntables: int = 6,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine — the scale path:
+    candidates from ``ntables`` hyperplane-LSH band buckets (self-join on
+    (table, signature) — pairs at cosine c collide per table with
+    probability (1 - arccos(c)/pi)^nplanes, so near-dups almost surely
+    share a bucket somewhere), exact cosine verification inside. No
+    all-pairs stage; the bucket self-join is the candidate bound, same
+    shape as MinHash-LSH dedup."""
+    sigs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_signature(F.col(vec_col), nplanes, table=t).alias("b"),
+                )
+                for t in range(ntables)
+            ])
+        ).alias("bk"),
+    ).select("id", "v", "bk.t", "bk.b")
+    a = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "t", "b")
+    b = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "b")
+    cand = (
+        a.join(b, ["t", "b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.select(
+        "id_a",
+        "id_b",
+        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold)
+
+
 def _plane_component(p: Column, d: Column) -> Column:
     """Deterministic pseudo-random plane component in [-1, 1):
     hash-derived, reproducible across runs and languages."""

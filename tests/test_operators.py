@@ -238,6 +238,41 @@ def test_ivf_ann_recall_beats_scan_fraction(spark, emb):
     }
 
 
+def test_embedding_near_dups(spark, emb):
+    from fog_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_exact,
+    )
+
+    # plant near-dups: copies with one slightly perturbed component
+    planted = emb.limit(10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 1),
+            F.transform(
+                F.slice("embedding", 2, F.size("embedding") - 1),
+                lambda x: x * F.lit(1.001),
+            ),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_exact(corpus, threshold=0.95).collect()
+    }
+    # every planted pair is a near-dup at 0.95
+    for i in range(10):
+        assert (i, i + 100000) in exact
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(corpus, threshold=0.95).collect()
+    }
+    assert approx <= exact  # verification step: no false positives
+    planted_pairs = {(i, i + 100000) for i in range(10)}
+    found = approx & planted_pairs
+    assert len(found) >= 8  # LSH recall on near-identical vectors
+
+
 def test_multimodal_plumbing(spark):
     from fog_spark.operators.multimodal import (
         extract_features, frame_sample_plan, synth_media, FEATURE_DIM,
@@ -256,6 +291,19 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_ms=5000)
     rows = plan.collect()
     assert all(r["ts_ms"] == r["frame_idx"] * 5000 for r in rows)
+
+    from fog_spark.operators.multimodal import resize_plan
+
+    rp = resize_plan(media, max_side=256).collect()
+    assert rp
+    for r in rp:
+        assert max(r["out_w"], r["out_h"]) <= 256
+        scale = min(1.0, 256 / max(r["width"], r["height"]))
+        # exact oracle: half-up rounding (Spark F.round), floor 1px
+        assert r["out_w"] == max(1, int(r["width"] * scale + 0.5))
+        assert r["out_h"] == max(1, int(r["height"] * scale + 0.5))
+        if max(r["width"], r["height"]) <= 256:
+            assert (r["out_w"], r["out_h"]) == (r["width"], r["height"])
 
     # real decode is stubbed
     import pytest as _pytest

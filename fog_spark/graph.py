@@ -68,6 +68,19 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
+def salt_expr(outdeg, dst, hub_cap: int):
+    """Chunk id for one edge of a source with total out-degree ``outdeg``:
+    0 for non-hubs, else hash(dst) spread over ceil(outdeg/hub_cap)
+    buckets. Shared by build_adjacency and the engine's hub-salt map so
+    the two can never disagree on chunk placement."""
+    nchunks = F.ceil(outdeg / F.lit(hub_cap)).cast("long")
+    return (
+        F.when(nchunks <= 1, F.lit(0))
+        .otherwise(pmod(F.xxhash64(dst), nchunks))
+        .cast("int")
+    )
+
+
 def build_adjacency(
     edges: DataFrame,
     hub_cap: int | None = DEFAULT_HUB_CAP,
@@ -87,13 +100,10 @@ def build_adjacency(
     deg = out_degrees(e).withColumnRenamed("id", "src")
     e = e.join(deg, "src")
     if hub_cap is None:
-        salt = F.lit(0)
+        salt = F.lit(0).cast("int")
     else:
-        nchunks = F.ceil(F.col("outdeg") / F.lit(hub_cap)).cast("long")
-        salt = F.when(nchunks <= 1, F.lit(0)).otherwise(
-            pmod(F.xxhash64(F.col("dst")), nchunks)
-        )
-    e = e.withColumn("salt", salt.cast("int"))
+        salt = salt_expr(F.col("outdeg"), F.col("dst"), hub_cap)
+    e = e.withColumn("salt", salt)
     aggs = [F.count("*").alias("chunk_size"), F.collect_list("dst").alias("dsts")]
     if with_weights and "weight" in e.columns:
         # zip dst+weight so the two arrays stay aligned

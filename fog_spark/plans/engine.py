@@ -147,16 +147,7 @@ class ScatterGatherEngine:
         # constant-folded out of the join keys, leaving a src-only join
         # that hash(src, salt) does not satisfy, re-shuffling the
         # adjacency every iteration.
-        hub_salts = None
-        if self.hub_cap is not None:
-            # cheap degree pre-check (map-side combinable agg, no
-            # collect_list) short-circuits the common no-hub case before
-            # paying for the salt-map aggregation over the adjacency
-            maxdeg = (
-                G.out_degrees(e).agg(F.max("outdeg").alias("m")).collect()[0]["m"]
-            )
-            if maxdeg and maxdeg > self.hub_cap:
-                hub_salts = self._hub_salts(adj)
+        hub_salts = self._hub_salts(e) if self.hub_cap is not None else None
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         # pin keys derive from hub_salts itself, never from the degree
         # check alone: a degree-hub whose duplicate dsts collapse into a
@@ -167,12 +158,15 @@ class ScatterGatherEngine:
         adj = adj.repartition(n, *keys).sortWithinPartitions(*keys).persist()
         return adj, hub_salts
 
-    def _hub_salts(self, adj: DataFrame) -> DataFrame | None:
+    def _hub_salts(self, e: DataFrame) -> DataFrame | None:
         """(id, _salts) for hub sources only — the chunks each state row
-        must be replicated to. Hubs are rare by construction (outdeg >
-        hub_cap), so this is a small broadcastable dim; materialized once
-        so the per-iteration expansion join reads cached blocks instead of
-        re-aggregating the adjacency.
+        must be replicated to. Computed from the edge table (one scan
+        joined against the broadcast hub-degree dim — cheap next to the
+        adjacency's collect_list shuffle, which would otherwise run twice
+        at setup) with graph.salt_expr, the SAME formula build_adjacency
+        uses, so map and chunk placement can never disagree. Hubs are
+        rare by construction (outdeg > hub_cap), so this is a small
+        broadcastable dim, materialized once.
 
         The filter keeps every src whose salt set is not exactly {0}: a
         degree-hub whose (possibly duplicate) dsts all hash into one
@@ -181,12 +175,25 @@ class ScatterGatherEngine:
         hub's messages."""
         if self.hub_cap is None:
             return None
+        hub_deg = G.out_degrees(e).where(F.col("outdeg") > self.hub_cap)
+        hub_deg = self.mat.checkpoint(hub_deg)
+        if hub_deg.isEmpty():
+            self.mat.free(hub_deg)
+            return None
         hubs = (
-            adj.groupBy(F.col("src").alias("id"))
-            .agg(F.collect_set("salt").alias("_salts"))
+            e.join(
+                F.broadcast(hub_deg.withColumnRenamed("id", "src")), "src"
+            )
+            .select(
+                F.col("src").alias("id"),
+                G.salt_expr(F.col("outdeg"), F.col("dst"), self.hub_cap).alias("_s"),
+            )
+            .groupBy("id")
+            .agg(F.collect_set("_s").alias("_salts"))
             .where((F.size("_salts") > 1) | (F.element_at("_salts", 1) != 0))
         )
         hubs = self.mat.checkpoint(hubs)
+        self.mat.free(hub_deg)
         if hubs.isEmpty():
             self.mat.free(hubs)
             return None

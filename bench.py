@@ -231,11 +231,18 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
     # scaling loss
     parts = ((base + hi_level - 1) // hi_level) * hi_level
 
+    def read_steal():
+        # hypervisor steal ticks, whole box: (steal, total) from /proc/stat
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:9]]
+        return vals[7], sum(vals)
+
     def one_trial(cpus: int) -> dict:
         env = dict(os.environ)
         # 16g measured best here: bigger heaps (48g/64g) lengthen G1
         # young collections and visibly pollute iteration walls
         env.setdefault("FOG_SPARK_DRIVER_MEM", "16g")
+        s0, t0 = read_steal()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
              "--only", "pagerank5", "--sf-dir", sf_dir,
@@ -243,20 +250,52 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
              "--shuffle-partitions", str(parts)],
             capture_output=True, text=True, check=True, cwd=REPO, env=env,
         )
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        s1, t1 = read_steal()
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        # attribute environment noise: fraction of box CPU the hypervisor
+        # stole during this trial (bursts of 30%+ fully explain the
+        # multi-10s wall outliers; near-0% trials are trustworthy)
+        r["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+        return r
 
     # This sandbox shows bursty hypervisor CPU steal (multi-10s stalls in
     # otherwise-flat iteration streams), so a single trial is a lottery.
-    # Alternate the levels across `trials` fresh-JVM runs and use the
-    # MEDIAN steady-state iteration wall per level — robust to stall
-    # outliers and to slow drift in background load.
+    # Defense in depth, all on EXOGENOUS signals (never the measured walls
+    # themselves): (1) probe /proc/stat and hold each trial until the box
+    # is quiet; (2) re-run any trial whose window still got stolen above
+    # the threshold, keeping the lowest-steal attempt; (3) alternate the
+    # levels across `trials` fresh-JVM runs and use the MEDIAN
+    # steady-state iteration wall per level.
+    steal_thresh = float(os.environ.get("SPARK_GRAFT_SCALING_STEAL_PCT", "2.0"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_RETRIES", "2")) + 1
+
+    def wait_quiet(max_wait_s: float = 600.0) -> None:
+        waited = 0.0
+        while waited < max_wait_s:
+            s0, t0 = read_steal()
+            time.sleep(10)
+            s1, t1 = read_steal()
+            if 100.0 * (s1 - s0) / max(1, t1 - t0) <= steal_thresh:
+                return
+            time.sleep(20)
+            waited += 30.0
+
     walls: dict[int, list[int]] = {c: [] for c in levels}
+    steals: dict[int, list[float]] = {c: [] for c in levels}
     n_edges = None
     for _ in range(trials):
         for cpus in levels:
-            r = one_trial(cpus)
-            n_edges = r["n_edges"]
-            walls[cpus].extend(r["details"]["pagerank5"]["iter_walls_ms"][1:])
+            best = None
+            for _attempt in range(max_attempts):
+                wait_quiet()
+                r = one_trial(cpus)
+                if best is None or r["steal_pct"] < best["steal_pct"]:
+                    best = r
+                if r["steal_pct"] <= steal_thresh:
+                    break
+            n_edges = best["n_edges"]
+            walls[cpus].extend(best["details"]["pagerank5"]["iter_walls_ms"][1:])
+            steals[cpus].append(best["steal_pct"])
 
     def median(xs):
         s = sorted(xs)
@@ -287,6 +326,7 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
                 "median_steady_iter_ms": median(walls[c]),
                 "steady_edges_per_sec_per_iter": round(eps[c]),
                 "steady_iter_walls_ms": walls[c],
+                "steal_pct_per_trial": steals[c],
             }
             for c in levels
         },
@@ -312,6 +352,10 @@ def _write_baseline_md(report: dict, levels) -> None:
         f"- steady iteration walls (ms), local[{c}]: {lv[str(c)]['steady_iter_walls_ms']}"
         for c in levels
     )
+    steal = "\n".join(
+        f"- hypervisor steal % during local[{c}] trials: {lv[str(c)].get('steal_pct_per_trial', [])}"
+        for c in levels
+    )
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
 North rule: >=0.8 throughput scaling efficiency between N and 4N
@@ -321,9 +365,13 @@ parallelism. No real cluster in this sandbox, so the same PageRank job
 in fresh JVMs, alternating over {report['trials']} trials per level;
 efficiency per pair = (eps_hi / eps_lo) / (hi/lo) on **median
 steady-state** edges/sec/iteration (iteration 1 of each trial excluded —
-JIT/codegen warmup is a per-JVM one-off; medians because the sandbox
-hypervisor shows bursty CPU steal that injects multi-10s stalls into
-otherwise flat iteration streams).
+JIT/codegen warmup is a per-JVM one-off). The sandbox hypervisor shows
+bursty CPU steal that injects multi-10s stalls into otherwise flat
+iteration streams, so trials are gated on the exogenous steal signal,
+never on the measured walls: each trial waits for a quiet /proc/stat
+window, re-runs (up to 2 retries) if its window still got stolen above
+2%, keeps the lowest-steal attempt, and the per-trial steal fractions
+are published below.
 
 | level | median steady iter (ms) | steady e/s/iter |
 |---|---|---|
@@ -331,6 +379,7 @@ otherwise flat iteration streams).
 
 - input: synthetic web graph (FIXTURES.md F2), {report['n_docs']:,} docs, {report['n_edges']:,} edges
 {walls}
+{steal}
 {effs}
 - reading the pairs: the prescribed evidence pair is 8->32 (the driver's
   local[8]-vs-local[32] stand-in); 2->8 is published alongside because

@@ -113,6 +113,26 @@ def test_bfs_levels(spark, gname):
             assert got[v] == want[v]
 
 
+def test_bfs_bound_truncates_like_oracle(spark):
+    """Eccentricity > bound: a 150-vertex directed path under
+    max_iters=100 must reach exactly levels 0..100 and leave the tail
+    unreached — the same truncation the gate oracle's `r.lvl < 100`
+    recursion guard produces, so query and oracle agree on any graph."""
+    n = 150
+    edges = [(i, i + 1) for i in range(n - 1)]
+    res = _engine(spark).run(
+        BFS(root=0), make_edges_df(spark, edges),
+        vertices=_vertices(spark, n), max_iters=100,
+    )
+    got = {r["id"]: r["level"] for r in res.state.collect()}
+    assert not res.converged  # frontier still active at the bound
+    for v in range(n):
+        if v <= 100:
+            assert got[v] == v
+        else:
+            assert got[v] >= (1 << 62)
+
+
 @pytest.mark.parametrize("gname", GRAPH_IDS)
 def test_sssp_dists(spark, gname):
     edges, n = GX.ALL_GRAPHS[gname]

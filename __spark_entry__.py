@@ -415,6 +415,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("n_triangles")
         )
 
+    def clustering_coeff(spark, sf):
+        from fog_spark.algos.triangles import clustering_coefficients
+
+        return clustering_coefficients(_edges(spark, sf)).select(
+            "id",
+            F.col("degree").cast("long").alias("degree"),
+            "tri",
+            # lcc = 2*tri/(d*(d-1)) on small exact ints — bit-stable
+            "lcc",
+        )
+
     def extract_roundtrip(spark, sf):
         d = _docs(spark, sf)
         html = F.concat(
@@ -449,6 +460,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_exact_md5(spark, sf):
         return exact_dedup(_docs(spark, sf), hash_fn="md5")
+
+    def corpus_prep(spark, sf):
+        # end-to-end training-corpus prep pipeline: quality gate
+        # (score >= 0.5; nearest doc sits 1.4e-5 from the boundary, far
+        # above fp noise) -> exact dedup keeping the min doc_id per
+        # md5(text) group -> per-language doc/token totals. One quality
+        # scan, one dedup shuffle, one final agg — the shape a 100 TB
+        # corpus build takes.
+        docs = _docs(spark, sf)
+        q = quality_features(docs).select("id", "n_tokens", "quality_score")
+        d = docs.select(F.col("doc_id").alias("id"), "lang", "text").join(q, "id")
+        surv = d.where(F.col("quality_score") >= 0.5)
+        keep = surv.groupBy(F.md5("text").alias("h")).agg(F.min("id").alias("id"))
+        kept = surv.join(keep.select("id"), "id")
+        return kept.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
 
     def fingerprints(spark, sf):
         return doc_fingerprint_portable(_docs(spark, sf))
@@ -558,6 +587,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return agg.join(top, "user_id")
 
+    def nation_revenue(spark, sf):
+        # TPC-H Q5 shape: fact-fact shuffle joins (lineitem x orders x
+        # customer) with broadcast dimension joins (supplier, nation,
+        # region) — the relational-checklist multi-join (SURVEY 2.4).
+        # Money in exact integers: cents x (100 - discount%) so the hash
+        # never touches float summation order.
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        s = spark.read.parquet(f"{sf}/supplier.parquet")
+        n = spark.read.parquet(f"{sf}/nation.parquet")
+        r = spark.read.parquet(f"{sf}/region.parquet")
+        pc = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        dp = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(
+                F.broadcast(s),
+                (li["l_suppkey"] == s["s_suppkey"])
+                & (c["c_nationkey"] == s["s_nationkey"]),
+            )
+            .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("n_name")
+            .agg(
+                F.count("*").alias("n_lineitems"),
+                F.sum(pc * (100 - dp)).alias("revenue_cbp"),
+            )
+        )
+
     def segment_revenue(spark, sf):
         orders = spark.read.parquet(f"{sf}/orders.parquet")
         cust = spark.read.parquet(f"{sf}/customer.parquet")
@@ -592,10 +652,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_total_weight_milli": msf_total_weight_milli,
         "lpa5_labels": lpa5_labels,
         "triangle_count": triangle_count_q,
+        "clustering_coeff": clustering_coeff,
         "extract_roundtrip": extract_roundtrip,
         "doc_stats": doc_stats,
         "lang_id": lang_id_q,
         "dedup_exact_md5": dedup_exact_md5,
+        "corpus_prep": corpus_prep,
         "fingerprints": fingerprints,
         "minhash_candidates": minhash_candidates,
         "jaccard_pairs": jaccard_pairs,
@@ -607,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         "user_event_stats": user_event_stats,
         "segment_revenue": segment_revenue,
+        "nation_revenue": nation_revenue,
     }
 
 
@@ -760,6 +823,23 @@ und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHE
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM und e1 JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        "clustering_coeff": f"""
+WITH e AS ({EDGES}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+deg AS (SELECT id, COUNT(*) AS degree FROM (
+          SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM und e1 JOIN und e2 ON e2.a = e1.b
+         JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+per_v AS (SELECT id, COUNT(*) AS tri FROM (
+            SELECT x AS id FROM tris UNION ALL SELECT y FROM tris
+            UNION ALL SELECT z FROM tris) GROUP BY id)
+SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
+  CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+  CASE WHEN d.degree >= 2
+       THEN 2.0 * COALESCE(p.tri, 0) / (d.degree * (d.degree - 1.0))
+       ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN per_v p ON p.id = d.id""",
         "extract_roundtrip": r"""
 WITH h AS (
   SELECT doc_id, text,
@@ -790,6 +870,27 @@ FROM h""",
 SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
        COUNT(*) AS dup_count
 FROM documents GROUP BY 1""",
+        "corpus_prep": f"""
+WITH t AS (SELECT doc_id, lang, text, {TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, lang, text,
+  length(text) AS n_chars, len(toks) AS n_tokens,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+  len(list_filter(toks, x -> list_contains({stop['en']}, x))) AS stop_hits
+FROM t),
+r AS (SELECT doc_id, lang, text, n_tokens,
+  LEAST(n_tokens / 100.0, 1.0) * 0.4
+  + CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END * 0.3
+  + LEAST(CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.2
+  + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END * 10.0, 1.0)) * 0.1
+    AS score
+FROM b),
+surv AS (SELECT * FROM r WHERE score >= 0.5),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY md5(text))
+SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens
+FROM surv s JOIN keep k ON k.doc_id = s.doc_id
+GROUP BY s.lang""",
         "fingerprints": f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
 SELECT doc_id AS id,
@@ -864,4 +965,16 @@ SELECT c_mktsegment, COUNT(*) AS n_orders,
   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
+        "nation_revenue": """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+    AS revenue_cbp
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name""",
     }

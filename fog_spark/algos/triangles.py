@@ -69,3 +69,36 @@ def triangles(edges: DataFrame, degree_order: bool = True) -> DataFrame:
 
 def triangle_count(edges: DataFrame, degree_order: bool = True) -> int:
     return triangles(edges, degree_order=degree_order).count()
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """(id, degree, tri, lcc) per vertex of the canonical undirected
+    graph: tri = triangles through the vertex, lcc = 2*tri/(d*(d-1)) —
+    the local clustering coefficient (0.0 for degree <= 1). One extra
+    explode + groupBy over the triangle rows; degrees reuse the canonical
+    edge set."""
+    und = _canonical_undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    per_v = (
+        triangles(edges)
+        .select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("tri"))
+    )
+    d = F.col("degree").cast("double")
+    tri = F.coalesce("tri", F.lit(0)).cast("long")
+    return deg.join(per_v, "id", "left").select(
+        "id",
+        "degree",
+        tri.alias("tri"),
+        F.when(
+            F.col("degree") >= 2, 2.0 * tri.cast("double") / (d * (d - 1.0))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )

@@ -157,6 +157,33 @@ def test_triangles(spark, gname):
     assert triangle_count(e, degree_order=False) == want
 
 
+def test_clustering_coefficients(spark):
+    """Per-vertex triangles + local clustering coefficient vs a brute
+    Python oracle on the two_triangles fixture."""
+    from itertools import combinations
+
+    from fog_spark.algos.triangles import clustering_coefficients
+
+    edges, n = GX.ALL_GRAPHS["two_triangles"]
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    got = {
+        r["id"]: (r["degree"], r["tri"], r["lcc"])
+        for r in clustering_coefficients(make_edges_df(spark, edges)).collect()
+    }
+    assert got.keys() == nbrs.keys()
+    for v, ns in nbrs.items():
+        d = len(ns)
+        tri = sum(1 for x, y in combinations(sorted(ns), 2) if (x, y) in und)
+        lcc = 2.0 * tri / (d * (d - 1)) if d >= 2 else 0.0
+        assert got[v][0] == d
+        assert got[v][1] == tri
+        assert abs(got[v][2] - lcc) < 1e-12
+
+
 @pytest.mark.parametrize("gname", GRAPH_IDS)
 def test_spmv(spark, gname):
     edges, n = GX.ALL_GRAPHS[gname]

@@ -137,6 +137,29 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         n = cosine_topk(emb, probes, k=10).count()
         return {"rows": int(n)}
 
+    def q_corpus_prep():
+        # composed training-corpus pipeline: quality gate -> md5 exact
+        # dedup -> per-language totals (mirrors the corpus_prep gate query)
+        from pyspark.sql import Window as W
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        q = quality_features(docs).select("id", "n_tokens", "quality_score")
+        d = docs.select(F.col("doc_id").alias("id"), "lang", "text").join(q, "id")
+        surv = d.where(F.col("quality_score") >= 0.5)
+        w = W.partitionBy(F.md5("text")).orderBy("id")
+        rows = (
+            surv.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("t"))
+            .collect()
+        )
+        return {
+            "langs": len(rows),
+            "kept_docs": int(sum(r["n"] for r in rows)),
+            "kept_tokens": int(sum(r["t"] for r in rows)),
+        }
+
     queries = {
         "extract_edges": q_extract_edges,
         "pagerank5": q_pagerank5,
@@ -146,6 +169,7 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         "dedup_minhash": q_dedup_minhash,
         "doc_stats": q_doc_stats,
         "cosine_topk": q_cosine_topk,
+        "corpus_prep": q_corpus_prep,
     }
     return queries, edges, n_edges
 

@@ -52,7 +52,12 @@ def synth_media(spark, n: int = 64) -> DataFrame:
     payload = F.encode(
         F.concat(F.lit("blob:"), F.sha2(F.col("id").cast("string"), 256)), "UTF-8"
     )
-    return spark.range(n).select(
+    # size partitions to the row count: spark.range defaults to one
+    # partition per core, and a tiny fixture fanned over 32 partitions
+    # pays 32 Arrow python-worker startups in the downstream mapInPandas
+    # (measured 19s -> ~4s for n=200 at the correctness gate)
+    parts = max(1, min(int(spark.sparkContext.defaultParallelism), n // 64))
+    return spark.range(0, n, 1, parts).select(
         F.col("id").alias("media_id"),
         kinds.alias("kind"),
         payload.alias("payload"),

@@ -501,10 +501,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def simhash_pairs(spark, sf):
-        # xxhash64-based: not portable to the DuckDB oracle -> rows-only check
-        from fog_spark.operators.dedup import simhash_near_dups
+        # md5-portable 48-bit twin (3x16-bit banding): every step is exact
+        # integer math DuckDB reproduces -> hash-checked. The xxhash64
+        # 64-bit simhash_near_dups is the production fast path (pytest).
+        from fog_spark.operators.dedup import simhash_md5_near_dups
 
-        return simhash_near_dups(
+        return simhash_md5_near_dups(
             _docs(spark, sf), max_hamming=8, id_col="doc_id"
         ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
@@ -931,6 +933,21 @@ inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n
 SELECT id_a, id_b, n / (sa.sz + sb.sz - n) AS jaccard
 FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
 WHERE n / (sa.sz + sb.sz - n) >= 0.2""",
+        "simhash_pairs": f"""
+WITH t0 AS (SELECT doc_id AS id, {TOKS} AS toks FROM documents),
+tk AS (SELECT id, unnest(toks) AS tok FROM t0),
+tf AS (SELECT id, tok, COUNT(*) AS w FROM tk GROUP BY id, tok),
+th AS (SELECT id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h, w FROM tf),
+bits AS (SELECT id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END) AS s
+         FROM th CROSS JOIN (SELECT unnest(range(48)) AS b) GROUP BY id, b),
+sig AS (SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY id),
+ch AS (SELECT id, sh, c, (sh >> (16 * c)) & 65535 AS cv
+       FROM sig CROSS JOIN (SELECT unnest([0, 1, 2]) AS c)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sa, b.sh AS sb
+         FROM ch a JOIN ch b ON b.c = a.c AND b.cv = a.cv AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 8""",
         "embedding_near_dup_pairs": """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -208,20 +208,24 @@ def ngram_jaccard_pairs(
     return j.where(F.col("jaccard") >= threshold)
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
-    """(id, simhash:long) — 64-bit SimHash over token hashes, weighted by
-    token frequency; all bit arithmetic JVM-side."""
+def _simhash_sig(docs: DataFrame, text_col: str, id_col: str,
+                 token_hash: Column, bits: int) -> DataFrame:
+    """(id, simhash:long): per-token +/-w bit votes summed per doc, bit b
+    set iff its vote sum is > 0. One shuffle (the (id, tok) tf groupBy),
+    then per-id aggregation of `bits` conditional sums — map-side combine
+    on both."""
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(tokenize_col(F.col(text_col))).alias("tok"),
     )
-    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("w"))
-    h = F.xxhash64(F.col("tok"))
-    # per (id, tok): contribution vector of +/- w per bit, summed per id
+    tf = (
+        toks.groupBy("id", "tok")
+        .agg(F.count("*").alias("w"))
+        .select("id", "w", token_hash.alias("h"))
+    )
     bit_aggs = []
     for b in range(bits):
-        bit_set = F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+        bit_set = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1
         bit_aggs.append(
             F.sum(F.when(bit_set, F.col("w")).otherwise(-F.col("w"))).alias(f"s_{b}")
         )
@@ -234,11 +238,27 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sums.select("id", sig.alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
-    """Candidate pairs with hamming(simhash) <= max_hamming, found via
-    4x16-bit chunk banding (a pair within distance 3 shares >=1 exact
-    chunk), then exact popcount verification."""
-    sig = simhash(docs, **kw)
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """(id, simhash:long) — 64-bit SimHash over xxhash64 token hashes,
+    weighted by token frequency; all bit arithmetic JVM-side."""
+    return _simhash_sig(docs, text_col, id_col, F.xxhash64(F.col("tok")), bits)
+
+
+def simhash_md5(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """48-bit SimHash with an md5-derived token hash — bit-portable to SQL
+    engines (h = first 12 md5 hex chars as a BIGINT, exact on both sides),
+    so the driver's DuckDB oracle reproduces it hash-for-hash. simhash()
+    (xxhash64) is the fast path for production runs."""
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("long")
+    return _simhash_sig(docs, text_col, id_col, h, 48)
+
+
+def _chunk_band_pairs(sig: DataFrame, nchunks: int) -> DataFrame:
+    """Candidate pairs sharing >=1 exact 16-bit signature chunk — a
+    bucketed equi-join (never all-pairs); AQE skew-split covers hot
+    buckets. Returns (id_a, id_b, sig_a, sig_b), id_a < id_b, distinct."""
     chunks = sig.select(
         "id", "simhash",
         F.explode(F.array(*[
@@ -246,17 +266,36 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
                 F.lit(c).alias("chunk"),
                 F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
             )
-            for c in range(4)
+            for c in range(nchunks)
         ])).alias("e"),
     ).select("id", "simhash", "e.chunk", "e.cv")
     a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "cv")
     b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "cv")
-    cand = (
+    return (
         a.join(b, ["chunk", "cv"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
     )
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Candidate pairs with hamming(simhash) <= max_hamming, found via
+    4x16-bit chunk banding (a pair within distance 3 shares >=1 exact
+    chunk), then exact popcount verification."""
+    cand = _chunk_band_pairs(simhash(docs, **kw), nchunks=4)
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def simhash_md5_near_dups(docs: DataFrame, max_hamming: int = 2, **kw) -> DataFrame:
+    """Oracle-portable twin of simhash_near_dups: 48-bit md5 signatures,
+    3x16-bit chunk banding (full recall for hamming <= 2 by pigeonhole),
+    exact popcount verification. Every step is deterministic integer math
+    reproducible in ANSI-ish SQL, so the driver hash-checks it."""
+    cand = _chunk_band_pairs(simhash_md5(docs, **kw), nchunks=3)
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming

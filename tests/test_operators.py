@@ -146,6 +146,40 @@ def test_simhash_near_dups(spark, docs):
             assert (r["doc_id"], r["doc_id"] + 100000) in found
 
 
+def test_simhash_md5_near_dups(spark, docs):
+    # the oracle-portable 48-bit twin: exact dups collide at hamming 0,
+    # and a NumPy reimplementation of the md5 bit votes pins every
+    # signature bit-for-bit (the portability claim, tested Spark-side)
+    import hashlib
+    from collections import Counter
+
+    from fog_spark.operators.dedup import simhash_md5, simhash_md5_near_dups
+
+    dup = docs.limit(12).union(
+        docs.limit(12).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    sigs = {r["id"]: r["simhash"] for r in simhash_md5(dup).collect()}
+    for r in docs.limit(12).collect():
+        toks = _tokens(r["text"])
+        if not toks:
+            continue
+        votes = [0] * 48
+        for tok, w in Counter(toks).items():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:12], 16)
+            for b in range(48):
+                votes[b] += w if (h >> b) & 1 else -w
+        expect = sum(1 << b for b in range(48) if votes[b] > 0)
+        assert sigs[r["doc_id"]] == expect
+        assert sigs[r["doc_id"] + 100000] == expect
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_md5_near_dups(dup, max_hamming=0).collect()
+    }
+    for r in docs.limit(12).collect():
+        if _tokens(r["text"]):
+            assert (r["doc_id"], r["doc_id"] + 100000) in found
+
+
 def test_quality_and_langid_run(spark, docs):
     q = quality_features(docs).collect()
     assert all(0.0 <= r["quality_score"] <= 1.0 for r in q)

@@ -103,6 +103,20 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
             "iter_walls_ms": [h["wall_time_ms"] for h in res.history],
         }
 
+    def q_pagerank_conv():
+        # the BASELINE.json metric's second half: iterations-to-convergence
+        # at max per-vertex delta < 1e-6 (standard damped PageRank with
+        # dangling-mass redistribution; plan-side delta stat, no collect)
+        from fog_spark.algos import StandardPageRank
+
+        res = engine().run(StandardPageRank(tol=1e-6), edges, max_iters=100)
+        return {
+            "iters_to_converge": res.iterations,
+            "tol": 1e-6,
+            "final_max_delta": res.history[-1].get("max_delta"),
+            "iter_walls_ms": [h["wall_time_ms"] for h in res.history],
+        }
+
     def q_cc():
         res = engine().run(ConnectedComponents(), edges, max_iters=50)
         n = res.state.agg(F.countDistinct("component")).collect()[0][0]
@@ -163,6 +177,7 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
     queries = {
         "extract_edges": q_extract_edges,
         "pagerank5": q_pagerank5,
+        "pagerank_conv": q_pagerank_conv,
         "cc": q_cc,
         "lpa4": q_lpa4,
         "triangles": q_triangles,

@@ -121,6 +121,58 @@ def _msf_milli_sql(rounds: int, tail: str) -> str:
     )
 
 
+def _ppr_milli_sql(seed: int, niters: int) -> str:
+    """Unrolled integer-milli personalized PageRank (replace-style damped
+    power iteration, teleport concentrated at the seed) — mirrors
+    fog_spark.algos.pagerank.PPRMilli exactly in long arithmetic."""
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES})",
+        f"v AS MATERIALIZED ({VERTS})",
+        "d AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN id = {seed} THEN 1000000 ELSE 0 END AS BIGINT) AS rank_milli FROM v)",
+    ]
+    for k in range(1, niters + 1):
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT p.id, CAST(COALESCE(m.s, 0) "
+            f"+ CASE WHEN p.id = {seed} THEN 150000 ELSE 0 END AS BIGINT) AS rank_milli "
+            f"FROM r{k-1} p LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM((850 * r.rank_milli) // (1000 * d.outdeg)) AS s "
+            f"FROM r{k-1} r JOIN d ON d.src = r.id JOIN e ON e.src = r.id GROUP BY e.dst"
+            f") m ON m.id = p.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank_milli FROM r{niters}"
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled degree peel, exactly the bounded loop k_core() runs: per
+    round drop vertices with undirected-simple degree < k and semi-join
+    the edge set down; after the last round report (id, degree) of
+    survivors with degree >= k. Spark's early fixpoint break returns the
+    same result whenever the peel stabilizes within the bound."""
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES})",
+        "u0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e WHERE src <> dst)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes += [
+            f"deg{i} AS MATERIALIZED (SELECT id, COUNT(*) AS degree FROM ("
+            f"SELECT a AS id FROM u{i-1} UNION ALL SELECT b FROM u{i-1}) GROUP BY id)",
+            f"keep{i} AS MATERIALIZED (SELECT id FROM deg{i} WHERE degree >= {k})",
+            f"u{i} AS MATERIALIZED (SELECT u.a, u.b FROM u{i-1} u "
+            f"JOIN keep{i} ka ON ka.id = u.a JOIN keep{i} kb ON kb.id = u.b)",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, CAST(degree AS BIGINT) AS degree FROM (
+  SELECT id, COUNT(*) AS degree FROM (
+    SELECT a AS id FROM u{rounds} UNION ALL SELECT b FROM u{rounds}) GROUP BY id)
+WHERE degree >= {k}"""
+    )
+
+
 def _lpa_sql(rounds: int) -> str:
     ctes = [
         f"e AS MATERIALIZED ({EDGES})",
@@ -406,6 +458,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("long").alias("n_edges"),
         )
 
+    def ppr8_milli(spark, sf):
+        from fog_spark.algos import PPRMilli
+
+        res = _engine(spark).run(PPRMilli(seed=0, niters=8), _edges(spark, sf))
+        return res.state.select("id", "rank_milli")
+
+    def kcore10(spark, sf):
+        # k=10 actually peels on the orders-derived graph (840/1500
+        # vertices survive at sf0.01); smaller k keeps everything
+        from fog_spark.algos import k_core
+
+        return k_core(_edges(spark, sf), k=10, max_rounds=16)
+
     def lpa5_labels(spark, sf):
         res = _engine(spark).run(LabelPropagation(max_iters=5), _edges(spark, sf))
         return res.state.select("id", "label")
@@ -660,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_sizes": scc_sizes_q,
         "msf_edges_milli": msf_edges_milli,
         "msf_total_weight_milli": msf_total_weight_milli,
+        "ppr8_milli": ppr8_milli,
+        "kcore10": kcore10,
         "lpa5_labels": lpa5_labels,
         "triangle_count": triangle_count_q,
         "clustering_coeff": clustering_coeff,
@@ -826,6 +893,8 @@ lbl AS (SELECT r1.a AS id, CAST(MIN(r1.b) AS BIGINT) AS scc
         FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
         GROUP BY r1.a)
 SELECT scc, COUNT(*) AS size FROM lbl GROUP BY scc""",
+        "ppr8_milli": _ppr_milli_sql(0, 8),
+        "kcore10": _kcore_sql(10, 16),
         "lpa5_labels": _lpa_sql(5),
         "triangle_count": f"""
 WITH e AS ({EDGES}),

@@ -39,6 +39,8 @@ ALGOS = (
     "msf",
     "triangles",
     "spmv",
+    "ppr",
+    "kcore",
     "stats",
 )
 
@@ -73,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sssp-source", type=int, default=0)
     p.add_argument("--bfs-root", type=int, default=0)
     p.add_argument("--lpa-iters", type=int, default=5)
+    p.add_argument("--ppr-seed", type=int, default=0)
+    p.add_argument("--ppr-niters", type=int, default=8)
+    p.add_argument("--kcore-k", type=int, default=3)
+    p.add_argument("--kcore-rounds", type=int, default=16)
     return p
 
 
@@ -104,7 +110,9 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         FogPageRank,
         FogPageRankMilli,
         LabelPropagation,
+        PPRMilli,
         StandardPageRank,
+        k_core,
         msf,
         scc,
         spmv,
@@ -127,6 +135,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         return triangles(e)
     if args.algo == "spmv":
         return spmv(e)
+    if args.algo == "kcore":
+        return k_core(e, k=args.kcore_k, max_rounds=args.kcore_rounds)
 
     algo = {
         "pagerank": lambda: FogPageRank(niters=args.pagerank_niters, damping=args.damping),
@@ -136,6 +146,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         "bfs": lambda: BFS(root=args.bfs_root),
         "sssp": lambda: SSSP(source=args.sssp_source),
         "lpa": lambda: LabelPropagation(max_iters=args.lpa_iters),
+        "ppr": lambda: PPRMilli(seed=args.ppr_seed, niters=args.ppr_niters),
     }[args.algo]()
     kw = {}
     if args.hub_cap is not None:

@@ -1,5 +1,6 @@
-from fog_spark.algos.pagerank import FogPageRank, FogPageRankMilli, StandardPageRank  # noqa: F401
+from fog_spark.algos.pagerank import FogPageRank, FogPageRankMilli, PPRMilli, StandardPageRank  # noqa: F401
 from fog_spark.algos.components import ConnectedComponents  # noqa: F401
+from fog_spark.algos.kcore import k_core  # noqa: F401
 from fog_spark.algos.lpa import LabelPropagation  # noqa: F401
 from fog_spark.algos.traversal import BFS, SSSP  # noqa: F401
 from fog_spark.algos.msf import msf, msf_total_weight  # noqa: F401

@@ -1,0 +1,80 @@
+"""k-core: iterative degree peel over the undirected simple graph.
+
+The k-core is the maximal subgraph in which every vertex has (undirected,
+deduplicated, loop-free) degree >= k. Not in the reference (its roadmap
+stops at SCC/MSF, /root/reference/TODO.list:16-21); standard semantics.
+
+Peel loop, each round two plans:
+1. degrees of the surviving subgraph (one groupBy shuffle — partial+final
+   hash agg, so per-round cost is one pass over surviving edges);
+2. drop vertices with deg < k, then semi-join the edge set down.
+
+Rounds are BOUNDED (``max_rounds``) and the bound is part of the query
+contract: the driver oracle unrolls exactly the same number of rounds, so
+both engines compute the identical partial peel even on adversarial
+inputs (a path graph peels one end per round and can exceed any fixed
+bound). On the synthetic graphs the loop reaches its fixpoint (detected
+via the engine's count check) long before the default bound.
+
+Scale: each round shrinks the edge set monotonically; the degree agg is
+map-side combinable and the semi-joins broadcast once survivors fit under
+the threshold. At 100 TB the first rounds dominate — same cost shape as
+one CC iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fog_spark import graph as G
+from fog_spark.plans.materialize import Materializer
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 16) -> DataFrame:
+    """Vertices of the k-core after at most ``max_rounds`` peel rounds:
+    ``(id, degree)`` with degree = the vertex's degree in the returned
+    subgraph. Fixpoint usually hits earlier; the bound makes the result
+    a deterministic function of (graph, k, max_rounds) for cross-engine
+    comparison."""
+    M = Materializer(edges.sparkSession)
+    e = G.normalize_edges(edges)
+    und = M.checkpoint(
+        e.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    n_prev = und.count()
+    for _ in range(max_rounds):
+        deg = (
+            und.select(F.col("a").alias("id"))
+            .unionByName(und.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("id")
+        und2 = M.swap(
+            und,
+            und.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b"),
+        )
+        und = und2
+        n_now = und.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    out = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+        .where(F.col("degree") >= k)
+    )
+    # the final degree filter matters only when max_rounds truncated the
+    # peel; at fixpoint it is a no-op (every survivor already has deg>=k).
+    # Materialize the result BEFORE freeing und — its localCheckpoint
+    # blocks are und's only source once the logical plan is truncated.
+    result = M.checkpoint(out)
+    M.free(und)
+    return result

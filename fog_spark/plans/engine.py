@@ -99,6 +99,21 @@ class Algorithm:
             return stats["active_count"] == 0
         return False
 
+    def extra_stats(self) -> dict[str, Any]:
+        """Extra aggregate Columns (name -> Column over state rows) the
+        engine folds into its per-iteration stats job. Lets an algorithm
+        read a global scalar (e.g. PageRank's dangling mass) without
+        issuing its OWN blocking aggregation job inside apply() — the
+        stats job runs anyway, so riding along is free."""
+        return {}
+
+    def set_stats(self, stats: dict[str, Any]) -> None:
+        """Called by the engine after every stats job (and once on the
+        init/resume state when extra_stats() is non-empty), BEFORE the
+        next iteration's plans are built — apply() may fold these values
+        in as literals."""
+        return None
+
 
 @dataclass
 class RunResult:
@@ -311,6 +326,12 @@ class ScatterGatherEngine:
             else:
                 state = self.mat.checkpoint(state)
 
+        if algo.needs_stats and algo.extra_stats():
+            # prime the algorithm's global scalars from the init/resume
+            # state (one extra job per RUN, not per iteration); subsequent
+            # iterations reuse the regular stats job via set_stats below
+            algo.set_stats(self._stats(state, algo))
+
         prev_active = None
         converged = False
         it = start_iter - 1
@@ -365,7 +386,8 @@ class ScatterGatherEngine:
                 new_state = self.mat.checkpoint(new_state)
             self.mat.free(prev_state)
             if algo.needs_stats:
-                stats = self._stats(new_state)
+                stats = self._stats(new_state, algo)
+                algo.set_stats(stats)
             else:
                 stats = {"vertex_count": None, "active_count": None, "max_delta": None}
 
@@ -420,13 +442,19 @@ class ScatterGatherEngine:
         with open(os.path.join(d, "_meta.json"), "w") as f:
             json.dump({"iteration": it, "converged": converged, "history": history}, f)
 
-    def _stats(self, state: DataFrame) -> dict[str, Any]:
+    def _stats(self, state: DataFrame, algo: Algorithm | None = None) -> dict[str, Any]:
         aggs = [F.count("*").alias("n"), F.sum(F.col("_active").cast("long")).alias("na")]
         if "_delta" in state.columns:
             aggs.append(F.max("_delta").alias("md"))
+        extras = algo.extra_stats() if algo is not None else {}
+        for name, col in extras.items():
+            aggs.append(col.alias(f"_x_{name}"))
         row = state.agg(*aggs).collect()[0]
-        return {
+        out = {
             "vertex_count": int(row["n"]),
             "active_count": int(row["na"] or 0),
             "max_delta": float(row["md"]) if "_delta" in state.columns and row["md"] is not None else None,
         }
+        for name in extras:
+            out[name] = row[f"_x_{name}"]
+        return out

@@ -248,3 +248,40 @@ def spmv_oracle(edges, n):
     for s, t in edges:
         y[t] += 1.0 * weight(s, t)
     return dict(y)
+
+
+def ppr_milli_oracle(edges, n, seed=0, iters=8):
+    """Integer-milli personalized PageRank (algos.pagerank.PPRMilli),
+    replace-style damped power iteration: rank_0 = 1e6 at the seed only;
+    contrib = (850*rank) // (1000*outdeg);
+    rank_t = sum contribs + 150_000 at the seed."""
+    outdeg = Counter(s for s, _ in edges)
+    rank = {v: 1_000_000 if v == seed else 0 for v in range(n)}
+    for _ in range(iters):
+        nxt = {v: 0 for v in range(n)}
+        for s, d in edges:
+            nxt[d] += (850 * rank[s]) // (1000 * outdeg[s])
+        nxt[seed] += 150_000
+        rank = nxt
+    return rank
+
+
+def kcore_oracle(edges, n, k, max_rounds=16):
+    """Bounded degree peel on the undirected simple graph; returns
+    {id: degree} of survivors with degree >= k after the peel."""
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    for _ in range(max_rounds):
+        deg = Counter()
+        for a, b in und:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, c in deg.items() if c >= k}
+        nxt = {(a, b) for a, b in und if a in keep and b in keep}
+        if nxt == und:
+            break
+        und = nxt
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    return {v: c for v, c in deg.items() if c >= k}

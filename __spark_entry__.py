@@ -173,6 +173,32 @@ WHERE degree >= {k}"""
     )
 
 
+def _walks_sql(walk_len: int) -> str:
+    """Unrolled deterministic random-walk corpus — mirrors
+    fog_spark.operators.walks.random_walks(hash_fn='md5') exactly: step
+    index = first 12 md5 hex chars of 'walk_id:t:cur' as a 48-bit int,
+    mod out-degree, over ascending-dst neighbors; dangling absorbs."""
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES})",
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+        "COUNT(*) OVER (PARTITION BY src) AS deg FROM e)",
+        "w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS cur FROM e)",
+    ]
+    for t in range(1, walk_len + 1):
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT w.walk_id, COALESCE(a.dst, w.cur) AS cur "
+            f"FROM w{t-1} w LEFT JOIN adj a ON a.src = w.cur AND a.idx = "
+            f"CAST('0x' || substr(md5(w.walk_id::VARCHAR || ':{t}:' || w.cur::VARCHAR), "
+            f"1, 12) AS BIGINT) % a.deg)"
+        )
+    steps = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS vertex FROM w{t}"
+        for t in range(walk_len + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + steps
+
+
 def _lpa_sql(rounds: int) -> str:
     ctes = [
         f"e AS MATERIALIZED ({EDGES})",
@@ -471,6 +497,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return k_core(_edges(spark, sf), k=10, max_rounds=16)
 
+    def random_walks4(spark, sf):
+        # md5 hash family (oracle-portable); xxhash64 is the production
+        # fast path, pinned equal-by-construction via pytest oracles
+        from fog_spark.operators.walks import random_walks
+
+        return random_walks(_edges(spark, sf), walk_len=4, hash_fn="md5")
+
     def lpa5_labels(spark, sf):
         res = _engine(spark).run(LabelPropagation(max_iters=5), _edges(spark, sf))
         return res.state.select("id", "label")
@@ -727,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_total_weight_milli": msf_total_weight_milli,
         "ppr8_milli": ppr8_milli,
         "kcore10": kcore10,
+        "random_walks4": random_walks4,
         "lpa5_labels": lpa5_labels,
         "triangle_count": triangle_count_q,
         "clustering_coeff": clustering_coeff,
@@ -895,6 +929,7 @@ lbl AS (SELECT r1.a AS id, CAST(MIN(r1.b) AS BIGINT) AS scc
 SELECT scc, COUNT(*) AS size FROM lbl GROUP BY scc""",
         "ppr8_milli": _ppr_milli_sql(0, 8),
         "kcore10": _kcore_sql(10, 16),
+        "random_walks4": _walks_sql(4),
         "lpa5_labels": _lpa_sql(5),
         "triangle_count": f"""
 WITH e AS ({EDGES}),

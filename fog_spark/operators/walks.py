@@ -1,0 +1,148 @@
+"""Deterministic random-walk corpus generation (DeepWalk/node2vec-style).
+
+A training-data pipeline over a web link graph wants walk corpora — the
+input to skip-gram embedding training — generated *reproducibly*: the
+walk from any vertex must not depend on partitioning, task order, or
+retries. So the "random" step is a hash: from vertex ``cur`` at step
+``t`` of walk ``w``, the chosen out-edge index is
+
+    idx = H(w, t, cur) mod outdeg(cur)
+
+over the out-neighbors in ascending-dst order. Two hash families:
+
+- ``xxhash64`` (default): JVM-side ``F.xxhash64`` over longs — the
+  production fast path, no string building, whole-stage codegen.
+- ``md5``: first 12 hex chars of ``md5("w:t:cur")`` as a 48-bit int —
+  bit-portable to SQL engines (DuckDB computes the identical index), so
+  the corpus is hash-checkable cross-engine. Same idiom as
+  ``operators.dedup.simhash_md5``.
+
+Vertices with no out-edges are absorbing: a walk that lands on one stays
+there, so every walk has exactly ``walk_len + 1`` rows. One walk starts
+per vertex with >= 1 out-edge (walk_id = start vertex id).
+
+Scale shape (the part that matters at 10^12 edges): the neighbor pick is
+a join against a *ranked edge table* ``(src, idx, dst)`` on the
+composite key ``(src, idx)`` — never against a grouped-adjacency array
+row. A 10^8-out-degree hub is 10^8 separate rows spread by hash(src,
+idx) across all partitions; each step touches exactly ONE of them per
+walk through that hub, so hub skew cannot concentrate in a task (the
+array form would ship and probe an ~800MB row per hub per step). Per
+step: one co-partitioned join of the walk state against the degree
+table (pinned by src) + one against the ranked edges (pinned by (src,
+idx)); both big sides are materialized once and reused for every step,
+so L steps cost L state-sized shuffles, never L edge-table shuffles.
+
+Not in the reference (FOG's roadmap stops at graph algorithms,
+/root/reference/TODO.list:16-21); this is the training-data extension
+the north rule's corpus context asks for.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fog_spark import graph as G
+from fog_spark.plans.materialize import Materializer
+
+
+def _step_hash(hash_fn: str, step: int):
+    """Column: H(walk_id, step, cur) as a non-negative long."""
+    if hash_fn == "xxhash64":
+        # sign-safe: pmod later; xxhash64 spans the full signed range
+        return F.xxhash64(F.col("walk_id"), F.lit(step).cast("long"), F.col("cur"))
+    if hash_fn == "md5":
+        s = F.concat_ws(
+            ":",
+            F.col("walk_id").cast("string"),
+            F.lit(str(step)),
+            F.col("cur").cast("string"),
+        )
+        # 12 hex chars = 48 bits, always positive, exact in a long
+        return F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """``(walk_id, step, vertex)`` — one deterministic walk of
+    ``walk_len`` steps per vertex with >= 1 out-edge; step 0 is the
+    start vertex itself. Multi-edges are kept (an edge listed twice is
+    twice as likely to be picked), matching unweighted corpus practice.
+    """
+    spark = edges.sparkSession
+    M = Materializer(spark)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = G.normalize_edges(edges).select("src", "dst")
+    # ranked edge table: idx in [0, outdeg) over ascending dst. The
+    # window sorts each src group once at build — same cost class as the
+    # CSR adjacency build — and is reused for every step. Unique column
+    # names (_r*/_g*) because ranked/deg share lineage with e and the
+    # per-step joins would otherwise be ambiguous self-joins.
+    w_src = Window.partitionBy("src").orderBy("dst")
+    ranked = M.checkpoint(
+        e.select(
+            F.col("src").alias("_rsrc"),
+            F.col("dst").alias("_rdst"),
+            (F.row_number().over(w_src) - F.lit(1)).cast("long").alias("_ridx"),
+        ).repartition(nparts, "_rsrc", "_ridx")
+    )
+    deg = M.checkpoint(
+        e.groupBy(F.col("src").alias("_gsrc"))
+        .agg(F.count("*").alias("_gdeg"))
+        .repartition(nparts, "_gsrc")
+    )
+
+    state = M.checkpoint(
+        deg.select(F.col("_gsrc").alias("walk_id"), F.col("_gsrc").alias("cur"))
+    )
+    snapshots = [state]  # step 0
+    for t in range(1, walk_len + 1):
+        h = _step_hash(hash_fn, t)
+        picked = (
+            state.join(deg, F.col("cur") == F.col("_gsrc"), "left")
+            .select(
+                "walk_id",
+                "cur",
+                F.when(
+                    F.col("_gdeg").isNotNull(), F.pmod(h, F.col("_gdeg"))
+                ).alias("_idx"),
+            )
+            .join(
+                ranked,
+                (F.col("cur") == F.col("_rsrc")) & (F.col("_idx") == F.col("_ridx")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                F.coalesce(F.col("_rdst"), F.col("cur")).alias("cur"),
+            )
+        )
+        state = M.checkpoint(picked)
+        snapshots.append(state)
+
+    out = reduce(
+        lambda a, b: a.unionByName(b),
+        (
+            s.select(
+                "walk_id",
+                F.lit(k).cast("long").alias("step"),
+                F.col("cur").alias("vertex"),
+            )
+            for k, s in enumerate(snapshots)
+        ),
+    )
+    result = M.checkpoint(out)
+    for s in snapshots:
+        M.free(s)
+    M.free(ranked)
+    M.free(deg)
+    return result

@@ -285,3 +285,34 @@ def kcore_oracle(edges, n, k, max_rounds=16):
         deg[a] += 1
         deg[b] += 1
     return {v: c for v, c in deg.items() if c >= k}
+
+
+def random_walks_oracle(edges, walk_len=8, hash_fn="md5"):
+    """Deterministic walk corpus (operators.walks.random_walks):
+    {(walk_id, step): vertex}; idx = H(w, t, cur) % outdeg(cur) over
+    ascending-dst neighbors; dangling vertices absorb."""
+    import hashlib
+
+    from fog_spark.hashing import pmod as _pmod, xxhash64 as _xx
+
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, []).append(d)
+    for s in nbrs:
+        nbrs[s].sort()
+
+    def h(w, t, cur):
+        if hash_fn == "md5":
+            hx = hashlib.md5(f"{w}:{t}:{cur}".encode()).hexdigest()[:12]
+            return int(hx, 16)
+        return _xx(w, t, cur)
+
+    out = {}
+    for w in sorted(nbrs):
+        cur = w
+        out[(w, 0)] = cur
+        for t in range(1, walk_len + 1):
+            if cur in nbrs:
+                cur = nbrs[cur][_pmod(h(w, t, cur), len(nbrs[cur]))]
+            out[(w, t)] = cur
+    return out

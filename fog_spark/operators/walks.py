@@ -27,11 +27,11 @@ composite key ``(src, idx)`` — never against a grouped-adjacency array
 row. A 10^8-out-degree hub is 10^8 separate rows spread by hash(src,
 idx) across all partitions; each step touches exactly ONE of them per
 walk through that hub, so hub skew cannot concentrate in a task (the
-array form would ship and probe an ~800MB row per hub per step). Per
-step: one co-partitioned join of the walk state against the degree
-table (pinned by src) + one against the ranked edges (pinned by (src,
-idx)); both big sides are materialized once and reused for every step,
-so L steps cost L state-sized shuffles, never L edge-table shuffles.
+array form would ship and probe an ~800MB row per hub per step). Each
+edge row also carries deg(dst), so the state always knows deg(cur)
+from the step that picked it — one join per step, against the ranked
+table pinned by (src, idx), materialized once and reused for every
+step. L steps cost L state-sized shuffles, never L edge-table shuffles.
 
 Not in the reference (FOG's roadmap stops at graph algorithms,
 /root/reference/TODO.list:16-21); this is the training-data extension
@@ -82,39 +82,42 @@ def random_walks(
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     e = G.normalize_edges(edges).select("src", "dst")
-    # ranked edge table: idx in [0, outdeg) over ascending dst. The
-    # window sorts each src group once at build — same cost class as the
-    # CSR adjacency build — and is reused for every step. Unique column
-    # names (_r*/_g*) because ranked/deg share lineage with e and the
-    # per-step joins would otherwise be ambiguous self-joins.
+    # ranked edge table: idx in [0, outdeg) over ascending dst, plus the
+    # out-degree of the EDGE TARGET (_rddeg). Carrying deg(dst) on the
+    # edge row means the walk state always knows deg(cur) — fetched when
+    # cur was picked — so each step is ONE join, not a deg join plus a
+    # pick join. The window sorts each src group once at build — same
+    # cost class as the CSR adjacency build — and is reused for every
+    # step. Unique column names (_r*/_g*) because ranked/deg share
+    # lineage with e and the per-step joins would otherwise be ambiguous
+    # self-joins.
     w_src = Window.partitionBy("src").orderBy("dst")
+    deg = e.groupBy(F.col("src").alias("_gsrc")).agg(F.count("*").alias("_gdeg"))
     ranked = M.checkpoint(
         e.select(
             F.col("src").alias("_rsrc"),
             F.col("dst").alias("_rdst"),
             (F.row_number().over(w_src) - F.lit(1)).cast("long").alias("_ridx"),
-        ).repartition(nparts, "_rsrc", "_ridx")
-    )
-    deg = M.checkpoint(
-        e.groupBy(F.col("src").alias("_gsrc"))
-        .agg(F.count("*").alias("_gdeg"))
-        .repartition(nparts, "_gsrc")
+        )
+        .join(deg, F.col("_rdst") == F.col("_gsrc"), "left")
+        .select("_rsrc", "_rdst", "_ridx", F.col("_gdeg").alias("_rddeg"))
+        .repartition(nparts, "_rsrc", "_ridx")
     )
 
     state = M.checkpoint(
-        deg.select(F.col("_gsrc").alias("walk_id"), F.col("_gsrc").alias("cur"))
+        deg.select(
+            F.col("_gsrc").alias("walk_id"),
+            F.col("_gsrc").alias("cur"),
+            F.col("_gdeg").alias("_cdeg"),
+        )
     )
     snapshots = [state]  # step 0
     for t in range(1, walk_len + 1):
         h = _step_hash(hash_fn, t)
         picked = (
-            state.join(deg, F.col("cur") == F.col("_gsrc"), "left")
-            .select(
-                "walk_id",
-                "cur",
-                F.when(
-                    F.col("_gdeg").isNotNull(), F.pmod(h, F.col("_gdeg"))
-                ).alias("_idx"),
+            state.withColumn(
+                "_idx",
+                F.when(F.col("_cdeg").isNotNull(), F.pmod(h, F.col("_cdeg"))),
             )
             .join(
                 ranked,
@@ -124,6 +127,11 @@ def random_walks(
             .select(
                 "walk_id",
                 F.coalesce(F.col("_rdst"), F.col("cur")).alias("cur"),
+                # moved: deg of the new vertex came with the edge row;
+                # absorbed (no match): cur and its (null-able) deg persist
+                F.when(F.col("_rdst").isNotNull(), F.col("_rddeg"))
+                .otherwise(F.col("_cdeg"))
+                .alias("_cdeg"),
             )
         )
         state = M.checkpoint(picked)

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from fog_spark import graph as G
-from fog_spark.plans.materialize import Materializer
+from fog_spark.plans.materialize import _SER, Materializer
 
 
 def _step_hash(hash_fn: str, step: int):
@@ -93,7 +93,12 @@ def random_walks(
     # self-joins.
     w_src = Window.partitionBy("src").orderBy("dst")
     deg = e.groupBy(F.col("src").alias("_gsrc")).agg(F.count("*").alias("_gdeg"))
-    ranked = M.checkpoint(
+    # persist (NOT localCheckpoint): an InMemoryTableScan keeps the
+    # repartition's HashPartitioning visible to every step's planner, so
+    # the ranked side joins with NO exchange; a localCheckpoint scan
+    # reports UnknownPartitioning and would re-shuffle (or re-broadcast)
+    # the full edge table once per step.
+    ranked = (
         e.select(
             F.col("src").alias("_rsrc"),
             F.col("dst").alias("_rdst"),
@@ -102,7 +107,9 @@ def random_walks(
         .join(deg, F.col("_rdst") == F.col("_gsrc"), "left")
         .select("_rsrc", "_rdst", "_ridx", F.col("_gdeg").alias("_rddeg"))
         .repartition(nparts, "_rsrc", "_ridx")
+        .persist(_SER)
     )
+    ranked.count()
 
     state = M.checkpoint(
         deg.select(
@@ -151,6 +158,5 @@ def random_walks(
     result = M.checkpoint(out)
     for s in snapshots:
         M.free(s)
-    M.free(ranked)
-    M.free(deg)
+    ranked.unpersist()
     return result

@@ -174,6 +174,14 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
             "kept_tokens": int(sum(r["t"] for r in rows)),
         }
 
+    def q_walks8():
+        # deterministic DeepWalk corpus: one 8-step walk per source
+        # vertex, xxhash64 step family (production path)
+        from fog_spark.operators.walks import random_walks
+
+        n = random_walks(edges, walk_len=8, hash_fn="xxhash64").count()
+        return {"walk_rows": int(n)}
+
     queries = {
         "extract_edges": q_extract_edges,
         "pagerank5": q_pagerank5,
@@ -181,6 +189,7 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         "cc": q_cc,
         "lpa4": q_lpa4,
         "triangles": q_triangles,
+        "walks8": q_walks8,
         "dedup_minhash": q_dedup_minhash,
         "doc_stats": q_doc_stats,
         "cosine_topk": q_cosine_topk,

@@ -173,6 +173,28 @@ WHERE degree >= {k}"""
     )
 
 
+def _msbfs_sql(seeds: list[int], rounds: int, tail: str) -> str:
+    """Unrolled multi-source BFS — exactly algos.msbfs.multi_source_bfs:
+    per round each (id, seed) keeps its min hop distance; bounded at
+    ``rounds`` on both engines. $LAST in tail = the final level CTE."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    ctes = [
+        f"e0 AS MATERIALIZED ({EDGES})",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0)",
+        f"d0 AS MATERIALIZED (SELECT CAST(seed AS BIGINT) AS id, "
+        f"CAST(seed AS BIGINT) AS seed, CAST(0 AS BIGINT) AS dist "
+        f"FROM (SELECT unnest([{seed_list}]) AS seed))",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT id, seed, CAST(MIN(dist) AS BIGINT) AS dist FROM ("
+            f"SELECT id, seed, dist FROM d{k-1} "
+            f"UNION ALL SELECT e.dst, r.seed, r.dist + 1 FROM d{k-1} r JOIN e ON e.src = r.id"
+            f") GROUP BY id, seed)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\n{tail.replace('$LAST', f'd{rounds}')}"
+
+
 def _walks_sql(walk_len: int) -> str:
     """Unrolled deterministic random-walk corpus — mirrors
     fog_spark.operators.walks.random_walks(hash_fn='md5') exactly: step
@@ -497,6 +519,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return k_core(_edges(spark, sf), k=10, max_rounds=16)
 
+    def msbfs4(spark, sf):
+        from fog_spark.algos.msbfs import multi_source_bfs
+
+        return multi_source_bfs(_edges(spark, sf), [0, 1, 2, 3], max_rounds=16)
+
+    def harmonic4_milli(spark, sf):
+        from fog_spark.algos.msbfs import harmonic_centrality_milli
+
+        return harmonic_centrality_milli(_edges(spark, sf), [0, 1, 2, 3], max_rounds=16)
+
     def random_walks4(spark, sf):
         # md5 hash family (oracle-portable); xxhash64 is the production
         # fast path, pinned equal-by-construction via pytest oracles
@@ -761,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr8_milli": ppr8_milli,
         "kcore10": kcore10,
         "random_walks4": random_walks4,
+        "msbfs4": msbfs4,
+        "harmonic4_milli": harmonic4_milli,
         "lpa5_labels": lpa5_labels,
         "triangle_count": triangle_count_q,
         "clustering_coeff": clustering_coeff,
@@ -930,6 +964,14 @@ SELECT scc, COUNT(*) AS size FROM lbl GROUP BY scc""",
         "ppr8_milli": _ppr_milli_sql(0, 8),
         "kcore10": _kcore_sql(10, 16),
         "random_walks4": _walks_sql(4),
+        "msbfs4": _msbfs_sql([0, 1, 2, 3], 16, "SELECT id, seed, dist FROM $LAST"),
+        "harmonic4_milli": _msbfs_sql(
+            [0, 1, 2, 3],
+            16,
+            "SELECT id, CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_milli, "
+            "CAST(COUNT(*) AS BIGINT) AS n_seeds_reaching "
+            "FROM $LAST WHERE dist > 0 GROUP BY id",
+        ),
         "lpa5_labels": _lpa_sql(5),
         "triangle_count": f"""
 WITH e AS ({EDGES}),

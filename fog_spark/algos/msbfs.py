@@ -1,0 +1,102 @@
+"""Multi-source BFS and harmonic centrality over the directed graph.
+
+Single-source BFS is the engine algorithm (algos/traversal.py, FOG's
+TARGET engine shape, /root/reference/application/bfs.hpp). Centrality
+queries want distances from a *seed set* at once; replicating the
+engine run per seed costs K full traversals of the fixed per-iteration
+overhead. Here the frontier carries a ``seed`` dimension instead: state
+rows are ``(id, seed, dist)`` and one layered expansion advances every
+seed's frontier together, so K sources cost ONE traversal whose rows
+are at most K times wider — the standard MS-BFS formulation (Then et
+al., "The More the Merrier: Efficient Multi-Source Graph Traversal",
+VLDB 2015 — bit-packed there, row-packed here; Spark's shuffle replaces
+their SIMD lanes).
+
+Per round: frontier ⋈ edges (one shuffle on src), min per (id, seed),
+anti-join against settled state (one shuffle on (id, seed)). The
+settled set only grows; rounds are BOUNDED (``max_rounds``) and the
+bound is part of the query contract, mirrored by the driver's unrolled
+SQL oracle — identical partial results even on graphs with eccentricity
+above the bound (the round-1 BFS bound-mismatch lesson, pinned on both
+sides).
+
+Harmonic centrality is exact integer math: ``sum over reached seeds of
+1_000_000 // dist`` — cross-engine bit-stable where a float 1/d sum
+would depend on summation order.
+
+At 100 TB: state is at most K·V rows of 3 longs; every shuffle is keyed
+by vertex id (never by seed alone), so no seed concentrates a
+partition; K batches seeds if centrality over hundreds of sources is
+wanted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fog_spark import graph as G
+from fog_spark.plans.materialize import Materializer
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: Sequence[int],
+    max_rounds: int = 16,
+) -> DataFrame:
+    """``(id, seed, dist)`` — directed hop distance from every seed to
+    every vertex it reaches within ``max_rounds`` hops (the seed itself
+    at dist 0). Unreached (id, seed) pairs are absent, not sentinel."""
+    spark = edges.sparkSession
+    M = Materializer(spark)
+    e = M.checkpoint(
+        G.normalize_edges(edges).select("src", "dst").distinct()
+    )
+
+    seed_rows = [(int(s),) for s in dict.fromkeys(seeds)]
+    state = M.checkpoint(
+        spark.createDataFrame(seed_rows, "seed long").select(
+            F.col("seed").alias("id"), "seed", F.lit(0).cast("long").alias("dist")
+        )
+    )
+    frontier = state
+    for _ in range(max_rounds):
+        grown = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .groupBy(e["dst"].alias("id"), "seed")
+            .agg((F.min("dist") + F.lit(1)).cast("long").alias("dist"))
+            .join(state.select("id", "seed"), ["id", "seed"], "left_anti")
+        )
+        new_frontier = M.checkpoint(grown)
+        if new_frontier.isEmpty():
+            M.free(new_frontier)
+            break
+        new_state = M.checkpoint(state.unionByName(new_frontier))
+        M.free(state)
+        M.free(frontier)  # no-op when frontier is still the initial state
+        state = new_state
+        frontier = new_frontier
+    result = state
+    M.free(e)
+    return result
+
+
+def harmonic_centrality_milli(
+    edges: DataFrame,
+    seeds: Sequence[int],
+    max_rounds: int = 16,
+) -> DataFrame:
+    """``(id, harmonic_milli)`` — integer harmonic centrality of every
+    vertex reached by >= 1 seed: sum over reaching seeds (seed != id) of
+    ``1_000_000 // dist``. Exact longs, cross-engine stable."""
+    d = multi_source_bfs(edges, seeds, max_rounds=max_rounds)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.sum(F.expr("1000000 div dist")).cast("long").alias("harmonic_milli"),
+            F.count("*").cast("long").alias("n_seeds_reaching"),
+        )
+    )

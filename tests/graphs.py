@@ -316,3 +316,37 @@ def random_walks_oracle(edges, walk_len=8, hash_fn="md5"):
                 cur = nbrs[cur][_pmod(h(w, t, cur), len(nbrs[cur]))]
             out[(w, t)] = cur
     return out
+
+
+def msbfs_oracle(edges, seeds, max_rounds=16):
+    """{(id, seed): dist} — directed hop distance, bounded layered
+    expansion (algos.msbfs.multi_source_bfs)."""
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    dist = {(s, s): 0 for s in seeds}
+    frontier = {(s, s) for s in seeds}
+    for _ in range(max_rounds):
+        nxt = set()
+        for v, s in frontier:
+            for u in adj.get(v, ()):
+                if (u, s) not in dist:
+                    nxt.add((u, s))
+        if not nxt:
+            break
+        lvl = max(dist[k] for k in frontier) + 1
+        for k in nxt:
+            dist[k] = lvl
+        frontier = nxt
+    return dist
+
+
+def harmonic_milli_oracle(edges, seeds, max_rounds=16):
+    """{id: (harmonic_milli, n_seeds_reaching)} over msbfs_oracle."""
+    dist = msbfs_oracle(edges, seeds, max_rounds)
+    out = {}
+    for (v, s), d in dist.items():
+        if d > 0:
+            h, n = out.get(v, (0, 0))
+            out[v] = (h + 1_000_000 // d, n + 1)
+    return out

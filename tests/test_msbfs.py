@@ -1,0 +1,44 @@
+"""multi_source_bfs / harmonic_centrality_milli vs pure-Python oracles."""
+
+import pytest
+
+from fog_spark.algos.msbfs import harmonic_centrality_milli, multi_source_bfs
+from tests.conftest import make_edges_df
+from tests import graphs as GX
+
+GRAPH_IDS = list(GX.ALL_GRAPHS)
+
+
+@pytest.mark.parametrize("gname", GRAPH_IDS)
+def test_msbfs_matches_oracle(spark, gname):
+    edges, n = GX.ALL_GRAPHS[gname]
+    seeds = [0, 1]
+    got = {
+        (r["id"], r["seed"]): r["dist"]
+        for r in multi_source_bfs(make_edges_df(spark, edges), seeds).collect()
+    }
+    want = GX.msbfs_oracle(edges, seeds)
+    assert got == want, gname
+
+
+def test_msbfs_truncated_bound(spark):
+    # path longer than the bound: both sides stop at the same layer
+    path = [(i, i + 1) for i in range(10)]
+    got = {
+        (r["id"], r["seed"]): r["dist"]
+        for r in multi_source_bfs(make_edges_df(spark, path), [0], max_rounds=3).collect()
+    }
+    assert got == GX.msbfs_oracle(path, [0], max_rounds=3)
+    assert max(got.values()) == 3
+
+
+@pytest.mark.parametrize("gname", GRAPH_IDS)
+def test_harmonic_matches_oracle(spark, gname):
+    edges, n = GX.ALL_GRAPHS[gname]
+    seeds = [0, 1, 2]
+    got = {
+        r["id"]: (r["harmonic_milli"], r["n_seeds_reaching"])
+        for r in harmonic_centrality_milli(make_edges_df(spark, edges), seeds).collect()
+    }
+    want = GX.harmonic_milli_oracle(edges, seeds)
+    assert got == want, gname

@@ -195,6 +195,34 @@ def _msbfs_sql(seeds: list[int], rounds: int, tail: str) -> str:
     return "WITH " + ",\n".join(ctes) + f"\n{tail.replace('$LAST', f'd{rounds}')}"
 
 
+def _anchor_reach_sql(n_anchors: int, rounds: int) -> str:
+    """Unrolled bitmask anchor-reachability fixpoint — mirrors
+    algos.reach.anchor_reachability: anchors = n_anchors smallest
+    (md5(id), id); per round every vertex ORs in its in-neighbors'
+    masks. Exact longs on both engines."""
+    ctes = [
+        f"e0 AS MATERIALIZED ({EDGES})",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0)",
+        "v AS MATERIALIZED (SELECT src AS id FROM e0 UNION SELECT dst FROM e0)",
+        "a AS MATERIALIZED (SELECT id, CAST(1::BIGINT << (rn - 1) AS BIGINT) AS bit FROM ("
+        "SELECT id, ROW_NUMBER() OVER (ORDER BY md5(id::VARCHAR), id) AS rn FROM v)"
+        f" WHERE rn <= {n_anchors})",
+        "m0 AS MATERIALIZED (SELECT v.id, CAST(COALESCE(a.bit, 0) AS BIGINT) AS mask "
+        "FROM v LEFT JOIN a ON a.id = v.id)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT p.id, CAST(p.mask | COALESCE(g.m, 0) AS BIGINT) AS mask "
+            f"FROM m{k-1} p LEFT JOIN ("
+            f"SELECT e.dst AS id, bit_or(r.mask) AS m FROM m{k-1} r JOIN e ON e.src = r.id "
+            f"GROUP BY e.dst) g ON g.id = p.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, mask, CAST(bit_count(mask) AS BIGINT) AS n_reach FROM m{rounds}"
+    )
+
+
 def _walks_sql(walk_len: int) -> str:
     """Unrolled deterministic random-walk corpus — mirrors
     fog_spark.operators.walks.random_walks(hash_fn='md5') exactly: step
@@ -529,6 +557,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return harmonic_centrality_milli(_edges(spark, sf), [0, 1, 2, 3], max_rounds=16)
 
+    def anchor_reach8(spark, sf):
+        from fog_spark.algos.reach import anchor_reachability
+
+        return anchor_reachability(_edges(spark, sf), n_anchors=16, rounds=8)
+
     def random_walks4(spark, sf):
         # md5 hash family (oracle-portable); xxhash64 is the production
         # fast path, pinned equal-by-construction via pytest oracles
@@ -795,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks4": random_walks4,
         "msbfs4": msbfs4,
         "harmonic4_milli": harmonic4_milli,
+        "anchor_reach8": anchor_reach8,
         "lpa5_labels": lpa5_labels,
         "triangle_count": triangle_count_q,
         "clustering_coeff": clustering_coeff,
@@ -964,6 +998,7 @@ SELECT scc, COUNT(*) AS size FROM lbl GROUP BY scc""",
         "ppr8_milli": _ppr_milli_sql(0, 8),
         "kcore10": _kcore_sql(10, 16),
         "random_walks4": _walks_sql(4),
+        "anchor_reach8": _anchor_reach_sql(16, 8),
         "msbfs4": _msbfs_sql([0, 1, 2, 3], 16, "SELECT id, seed, dist FROM $LAST"),
         "harmonic4_milli": _msbfs_sql(
             [0, 1, 2, 3],

@@ -350,3 +350,29 @@ def harmonic_milli_oracle(edges, seeds, max_rounds=16):
             h, n = out.get(v, (0, 0))
             out[v] = (h + 1_000_000 // d, n + 1)
     return out
+
+
+def anchor_reach_oracle(edges, n, n_anchors=16, rounds=8):
+    """{id: (mask, n_reach)} — bitmask anchor reachability
+    (algos.reach.anchor_reachability): anchors = n_anchors smallest
+    (md5(id), id); bit j set iff anchor j reaches id within rounds hops."""
+    import hashlib
+
+    verts = sorted({v for e in edges for v in e})
+    ranked = sorted(verts, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))
+    anchors = ranked[:n_anchors]
+    mask = {v: 0 for v in verts}
+    for j, a in enumerate(anchors):
+        mask[a] |= 1 << j
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    for _ in range(rounds):
+        nxt = dict(mask)
+        for s, ds in adj.items():
+            for d in ds:
+                nxt[d] |= mask[s]
+        if nxt == mask:
+            break
+        mask = nxt
+    return {v: (m, bin(m).count("1")) for v, m in mask.items()}

@@ -437,20 +437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "min_vertex_id long, max_vertex_id long, num_edges long, max_out_edges long",
         )
 
-    def degree_histogram(spark, sf):
-        # web-graph degree distribution: #vertices per out-degree (0 for
-        # dst-only vertices), the first chart anyone draws on a crawl
-        e = _edges(spark, sf)
-        v = (
-            e.select(F.col("src").alias("id"))
-            .unionByName(e.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-        d = v.join(G.out_degrees(e), "id", "left").select(
-            F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg")
-        )
-        return d.groupBy("outdeg").agg(F.count("*").cast("long").alias("n_vertices"))
-
     def out_degrees(spark, sf):
         return G.out_degrees(_edges(spark, sf))
 
@@ -835,14 +821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edgelist_scan": edgelist_scan,
         "adjlist_scan": adjlist_scan,
         "graph_stats": graph_stats,
-        "degree_histogram": degree_histogram,
-        "degree_histogram": f"""
-WITH e AS ({EDGES}),
-v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-d AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src)
-SELECT CAST(COALESCE(d.outdeg, 0) AS BIGINT) AS outdeg,
-       CAST(COUNT(*) AS BIGINT) AS n_vertices
-FROM v LEFT JOIN d ON d.id = v.id GROUP BY 1""",
         "out_degrees": out_degrees,
         "in_degrees": in_degrees,
         "adjacency_csr": adjacency_csr,

@@ -296,6 +296,21 @@ def _edges_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """Gate-scale session tune, idempotent and value-safe (no query here
+    depends on partition count — dense ids use range-partition + global
+    prefix sum). The driver owns the SparkSession; if it came up with
+    Spark's 200-partition default, every tiny gate shuffle pays ~6x task
+    scheduling overhead, and without AQE nothing coalesces them."""
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "64")
+    except Exception:
+        pass  # a locked-down session is fine too — just slower
+
+
 def _msbfs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # msbfs4 and harmonic4_milli share one traversal (gate-runtime budget)
     key = ("msbfs4", sf_dir)
@@ -386,6 +401,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from fog_spark.algos import FogPageRankMilli
     from fog_spark.plans.engine import ScatterGatherEngine
 
+    _tune_session(spark)
     ckpt = tempfile.mkdtemp(prefix="fog_spark_entry_")
     eng = ScatterGatherEngine(spark, checkpoint_dir=ckpt)
     res = eng.run(FogPageRankMilli(niters=10), _edges(spark, SF_SMOKE), run_id="entry")
@@ -817,7 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n_orders"), F.sum(cents).alias("revenue_cents"))
         )
 
-    return {
+    q = {
         "edgelist_scan": edgelist_scan,
         "adjlist_scan": adjlist_scan,
         "graph_stats": graph_stats,
@@ -866,6 +882,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_revenue": segment_revenue,
         "nation_revenue": nation_revenue,
     }
+
+    def _tuned(fn):
+        def wrap(spark, sf):
+            _tune_session(spark)
+            return fn(spark, sf)
+
+        return wrap
+
+    return {k: _tuned(fn) for k, fn in q.items()}
 
 
 # ------------------------------------------------------------- oracle SQL

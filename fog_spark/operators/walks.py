@@ -71,11 +71,15 @@ def random_walks(
     edges: DataFrame,
     walk_len: int = 8,
     hash_fn: str = "xxhash64",
+    walks_per_vertex: int = 1,
 ) -> DataFrame:
-    """``(walk_id, step, vertex)`` — one deterministic walk of
-    ``walk_len`` steps per vertex with >= 1 out-edge; step 0 is the
-    start vertex itself. Multi-edges are kept (an edge listed twice is
-    twice as likely to be picked), matching unweighted corpus practice.
+    """``(walk_id, step, vertex)`` — ``walks_per_vertex`` deterministic
+    walks of ``walk_len`` steps per vertex with >= 1 out-edge; step 0 is
+    the start vertex itself. ``walk_id = start * walks_per_vertex + j``
+    (the identity when walks_per_vertex=1), and the step hash keys on
+    walk_id, so sibling walks from one start diverge. Multi-edges are
+    kept (an edge listed twice is twice as likely to be picked),
+    matching unweighted corpus practice.
     """
     spark = edges.sparkSession
     M = Materializer(spark)
@@ -111,11 +115,18 @@ def random_walks(
     )
     ranked.count()
 
+    W = int(walks_per_vertex)
+    if W < 1:
+        raise ValueError("walks_per_vertex must be >= 1")
     state = M.checkpoint(
         deg.select(
-            F.col("_gsrc").alias("walk_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(W - 1))).alias("_j"),
             F.col("_gsrc").alias("cur"),
             F.col("_gdeg").alias("_cdeg"),
+        ).select(
+            (F.col("cur") * W + F.col("_j")).cast("long").alias("walk_id"),
+            "cur",
+            "_cdeg",
         )
     )
     snapshots = [state]  # step 0

@@ -39,3 +39,28 @@ def test_walks_deterministic_across_runs(spark):
     a = sorted(map(tuple, random_walks(df, walk_len=5).collect()))
     b = sorted(map(tuple, random_walks(df, walk_len=5).collect()))
     assert a == b
+
+
+def test_walks_per_vertex(spark):
+    from fog_spark.operators.walks import random_walks
+    from tests import graphs as GX
+    from tests.conftest import make_edges_df
+
+    edges, n = GX.ALL_GRAPHS["two_triangles"]
+    df = make_edges_df(spark, edges)
+    rows = random_walks(df, walk_len=5, walks_per_vertex=3).collect()
+    base = {r["walk_id"] for r in random_walks(df, walk_len=5).collect()}
+    # 3x walks, ids = start*3 + j
+    assert len(rows) == 3 * len(base) * 6
+    starts = {r["walk_id"] // 3 for r in rows}
+    assert starts == base
+    # step 0 of every sibling walk is the shared start vertex
+    for r in rows:
+        if r["step"] == 0:
+            assert r["vertex"] == r["walk_id"] // 3
+    # sibling walks diverge somewhere (hash keys on walk_id)
+    paths = {}
+    for r in rows:
+        paths.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    sib = [tuple(paths[w][s] for s in range(6)) for w in sorted(paths) if w // 3 == 0]
+    assert len(set(sib)) > 1

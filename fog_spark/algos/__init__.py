@@ -4,6 +4,8 @@ from fog_spark.algos.kcore import k_core  # noqa: F401
 from fog_spark.algos.lpa import LabelPropagation  # noqa: F401
 from fog_spark.algos.traversal import BFS, SSSP  # noqa: F401
 from fog_spark.algos.msf import msf, msf_total_weight  # noqa: F401
+from fog_spark.algos.msbfs import harmonic_centrality_milli, multi_source_bfs  # noqa: F401
+from fog_spark.algos.reach import AnchorReach, anchor_reachability  # noqa: F401
 from fog_spark.algos.scc import scc, scc_sizes  # noqa: F401
 from fog_spark.algos.spmv import spmv  # noqa: F401
 from fog_spark.algos.triangles import triangle_count, triangles  # noqa: F401

@@ -78,9 +78,10 @@ def multi_source_bfs(
         M.free(frontier)  # no-op when frontier is still the initial state
         state = new_state
         frontier = new_frontier
-    result = state
+    if frontier is not state:
+        M.free(frontier)  # the last layer's buffer — state already holds it
     M.free(e)
-    return result
+    return state
 
 
 def harmonic_centrality_milli(

@@ -15,3 +15,4 @@ from fog_spark.operators.text import (  # noqa: F401
     quality_features,
     token_count_col,
 )
+from fog_spark.operators.walks import random_walks  # noqa: F401

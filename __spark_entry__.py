@@ -249,6 +249,172 @@ def _walks_sql(walk_len: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + steps
 
 
+def _hyperball_sql(m: int, rounds: int) -> str:
+    """Unrolled HyperBall HLL sketches — mirrors
+    fog_spark.algos.hyperball.hyperball_sketches(hash_fn='md5') exactly
+    in long register format: h = md5_48(id), reg = h % m,
+    rho = rho_max - bitlen(h // m); each round register-wise MAX along
+    out-edges; sum2k = sum_j 2^(rho_max - M_j) with absent registers
+    contributing 2^rho_max (M_j = 0). Present rows always have rho >= 1,
+    so zeros = m - count(present registers)."""
+    b = m.bit_length() - 1
+    rho_max = 48 - b + 1
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES})",
+        "ee AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
+        f"v AS MATERIALIZED ({VERTS})",
+        "h AS MATERIALIZED (SELECT id, "
+        "CAST('0x' || substr(md5(id::VARCHAR), 1, 12) AS BIGINT) AS h FROM v)",
+        f"s0 AS MATERIALIZED (SELECT id, CAST(h % {m} AS INT) AS reg, "
+        f"CAST({rho_max} - (CASE WHEN h // {m} = 0 THEN 0 ELSE "
+        f"length(bin(h // {m})) END) AS INT) AS rho FROM h)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT id, reg, MAX(rho) AS rho FROM ("
+            f"SELECT id, reg, rho FROM s{t-1} "
+            f"UNION ALL "
+            f"SELECT ee.dst AS id, s.reg, s.rho FROM s{t-1} s "
+            f"JOIN ee ON ee.src = s.id) GROUP BY id, reg)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, "
+        f"CAST(SUM(1::BIGINT << ({rho_max} - rho)) + "
+        f"({m} - COUNT(*)) * (1::BIGINT << {rho_max}) AS BIGINT) AS sum2k, "
+        f"CAST({m} - COUNT(*) AS BIGINT) AS zeros "
+        f"FROM s{rounds} GROUP BY id"
+    )
+
+
+def _ktruss_sql(k: int, max_rounds: int) -> str:
+    """Unrolled k-truss peel — mirrors fog_spark.algos.ktruss.k_truss
+    exactly: per round, per-edge support = |N(a) & N(b)| over the
+    surviving canonical edge set via a wedge join, keep support >= k-2.
+    Inner-join support is safe because k >= 3 (zero-triangle edges must
+    drop anyway)."""
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES})",
+        "u0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e WHERE src <> dst)",
+    ]
+    for r in range(1, max_rounds + 1):
+        ctes.append(
+            f"sym{r} AS MATERIALIZED (SELECT a AS u, b AS w FROM u{r-1} "
+            f"UNION ALL SELECT b, a FROM u{r-1})"
+        )
+        ctes.append(
+            f"u{r} AS MATERIALIZED (SELECT x.a, x.b FROM u{r-1} x "
+            f"JOIN (SELECT x.a, x.b, COUNT(*) AS supp FROM u{r-1} x "
+            f"JOIN sym{r} p ON p.u = x.a JOIN sym{r} q ON q.u = x.b "
+            f"AND q.w = p.w GROUP BY x.a, x.b) s "
+            f"ON s.a = x.a AND s.b = x.b AND s.supp >= {k - 2})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT a, b FROM u{max_rounds}"
+    )
+
+
+def _mis_sql(max_rounds: int) -> str:
+    """Unrolled Luby MIS — mirrors
+    fog_spark.algos.mis.maximal_independent_set(hash_fn='md5') exactly:
+    round-r priority of v is (md5_48('r:v'), v); a vertex with no
+    strictly-better undecided neighbor joins the MIS, its undecided
+    neighbors drop out; symmetric simple graph."""
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES})",
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM e WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM e WHERE src <> dst))",
+        f"v AS MATERIALIZED ({VERTS})",
+        "u0 AS MATERIALIZED (SELECT id FROM v)",
+    ]
+    for r in range(1, max_rounds + 1):
+        ctes.append(
+            f"pr{r} AS MATERIALIZED (SELECT id, "
+            f"CAST('0x' || substr(md5('{r}:' || id::VARCHAR), 1, 12) AS BIGINT) "
+            f"AS h FROM u{r-1})"
+        )
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT p.id FROM pr{r} p WHERE NOT EXISTS ("
+            f"SELECT 1 FROM und n JOIN pr{r} q ON q.id = n.dst "
+            f"WHERE n.src = p.id AND (q.h < p.h OR (q.h = p.h AND q.id < p.id))))"
+        )
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT DISTINCT n.dst AS id "
+            f"FROM und n JOIN w{r} w ON w.id = n.src "
+            f"JOIN u{r-1} uu ON uu.id = n.dst "
+            f"WHERE n.dst NOT IN (SELECT id FROM w{r}))"
+        )
+        ctes.append(
+            f"u{r} AS MATERIALIZED (SELECT id FROM u{r-1} "
+            f"WHERE id NOT IN (SELECT id FROM w{r}) "
+            f"AND id NOT IN (SELECT id FROM l{r}))"
+        )
+    mis = " UNION ".join(f"SELECT id FROM w{r}" for r in range(1, max_rounds + 1))
+    non = " UNION ".join(f"SELECT id FROM l{r}" for r in range(1, max_rounds + 1))
+    ctes.append(f"mis AS MATERIALIZED ({mis})")
+    ctes.append(f"non AS MATERIALIZED ({non})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT v.id, CASE WHEN m.id IS NOT NULL THEN TRUE "
+        "WHEN x.id IS NOT NULL THEN FALSE ELSE CAST(NULL AS BOOLEAN) END AS in_mis "
+        "FROM v LEFT JOIN mis m ON m.id = v.id LEFT JOIN non x ON x.id = v.id"
+    )
+
+
+def _node2vec_sql(walk_len: int, p=4, q=0.25, trials: int = 3) -> str:
+    """Unrolled node2vec rejection-sampling corpus — mirrors
+    fog_spark.operators.node2vec.node2vec_walks(hash_fn='md5') exactly:
+    per trial, pick idx = md5_48('w:t:r:cur') % outdeg over ascending-dst
+    neighbors, accept iff md5_48('a:w:t:r:cur') % 2^32 * den < num * 2^32
+    with the exact class rational (return / out-neighbor-of-prev / far);
+    first accepted trial wins, else trial 1's candidate; dangling absorb.
+    Step 1 (prev NULL) is uniform."""
+    from fog_spark.operators.node2vec import _ratios
+
+    (ret_n, ret_d), (nb_n, nb_d), (far_n, far_d) = _ratios(p, q)
+    U32 = 1 << 32
+    vals = ", ".join(f"({r})" for r in range(1, trials + 1))
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES})",
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx, "
+        "COUNT(*) OVER (PARTITION BY src) AS deg FROM e)",
+        "nbset AS MATERIALIZED (SELECT DISTINCT src, dst FROM e)",
+        "w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, "
+        "CAST(NULL AS BIGINT) AS prev, src AS cur FROM e)",
+    ]
+    for t in range(1, walk_len + 1):
+        key = f"w.walk_id::VARCHAR || ':{t}:' || r.r::VARCHAR || ':' || w.cur::VARCHAR"
+        u32 = f"(CAST('0x' || substr(md5('a:' || {key}), 1, 12) AS BIGINT) % {U32})"
+        ctes.append(
+            f"t{t} AS MATERIALIZED (SELECT w.walk_id, w.cur, r.r, a.dst AS cand, "
+            f"CASE WHEN a.dst IS NULL THEN FALSE "
+            f"WHEN w.prev IS NULL THEN TRUE "
+            f"WHEN a.dst = w.prev THEN {u32} * {ret_d} < {ret_n} * {U32} "
+            f"WHEN nb.src IS NOT NULL THEN {u32} * {nb_d} < {nb_n} * {U32} "
+            f"ELSE {u32} * {far_d} < {far_n} * {U32} END AS acc "
+            f"FROM w{t-1} w "
+            f"CROSS JOIN (VALUES {vals}) r(r) "
+            f"LEFT JOIN adj a ON a.src = w.cur AND a.idx = "
+            f"CAST('0x' || substr(md5({key}), 1, 12) AS BIGINT) % a.deg "
+            f"LEFT JOIN nbset nb ON nb.src = w.prev AND nb.dst = a.dst)"
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT walk_id, cur AS prev, "
+            f"COALESCE(arg_min(cand, CASE WHEN acc THEN r ELSE {trials} + r END), cur) "
+            f"AS cur FROM t{t} GROUP BY walk_id, cur)"
+        )
+    steps = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS vertex FROM w{t}"
+        for t in range(walk_len + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + steps
+
+
 def _lpa_sql(rounds: int) -> str:
     ctes = [
         f"e AS MATERIALIZED ({EDGES})",
@@ -601,6 +767,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return random_walks(_edges(spark, sf), walk_len=4, hash_fn="md5")
 
+    def node2vec4(spark, sf):
+        # p=4, q=1/4 (outward-biased), 3 rejection trials; md5 family so
+        # the unrolled DuckDB oracle computes the identical corpus
+        from fog_spark.operators.node2vec import node2vec_walks
+
+        return node2vec_walks(
+            _edges(spark, sf), walk_len=4, p=4, q=0.25, trials=3, hash_fn="md5"
+        )
+
+    def ktruss3(spark, sf):
+        from fog_spark.algos.ktruss import k_truss
+
+        return k_truss(_edges(spark, sf), k=3, max_rounds=4)
+
+    def mis12(spark, sf):
+        # md5 hash family (oracle-portable); xxhash64 is the production
+        # fast path, pinned equal-shape via pytest oracles
+        from fog_spark.algos.mis import maximal_independent_set
+
+        return maximal_independent_set(
+            _edges(spark, sf), max_rounds=12, hash_fn="md5"
+        )
+
+    def hyperball8(spark, sf):
+        # md5 hash family (oracle-portable); the integer sum2k/zeros
+        # contract makes the HLL sketch hash-checkable cross-engine
+        from fog_spark.algos.hyperball import hyperball_sketches
+
+        return hyperball_sketches(
+            _edges(spark, sf), m=16, rounds=8, hash_fn="md5"
+        )
+
     def lpa5_labels(spark, sf):
         res = _engine(spark).run(LabelPropagation(max_iters=5), _edges(spark, sf))
         return res.state.select("id", "label")
@@ -858,6 +1056,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr8_milli": ppr8_milli,
         "kcore10": kcore10,
         "random_walks4": random_walks4,
+        "node2vec4": node2vec4,
+        "hyperball8": hyperball8,
+        "mis12": mis12,
+        "ktruss3": ktruss3,
         "msbfs4": msbfs4,
         "harmonic4_milli": harmonic4_milli,
         "anchor_reach8": anchor_reach8,
@@ -1039,6 +1241,10 @@ SELECT scc, COUNT(*) AS size FROM lbl GROUP BY scc""",
         "ppr8_milli": _ppr_milli_sql(0, 8),
         "kcore10": _kcore_sql(10, 16),
         "random_walks4": _walks_sql(4),
+        "node2vec4": _node2vec_sql(4, p=4, q=0.25, trials=3),
+        "hyperball8": _hyperball_sql(16, 8),
+        "mis12": _mis_sql(12),
+        "ktruss3": _ktruss_sql(3, 4),
         "anchor_reach8": _anchor_reach_sql(16, 8),
         "msbfs4": _msbfs_sql([0, 1, 2, 3], 16, "SELECT id, seed, dist FROM $LAST"),
         "harmonic4_milli": _msbfs_sql(

@@ -1,9 +1,12 @@
 from fog_spark.algos.pagerank import FogPageRank, FogPageRankMilli, PPRMilli, StandardPageRank  # noqa: F401
 from fog_spark.algos.components import ConnectedComponents  # noqa: F401
 from fog_spark.algos.kcore import k_core  # noqa: F401
+from fog_spark.algos.ktruss import k_truss  # noqa: F401
 from fog_spark.algos.lpa import LabelPropagation  # noqa: F401
 from fog_spark.algos.traversal import BFS, SSSP  # noqa: F401
+from fog_spark.algos.mis import maximal_independent_set  # noqa: F401
 from fog_spark.algos.msf import msf, msf_total_weight  # noqa: F401
+from fog_spark.algos.hyperball import HyperBall, hyperball_sketches  # noqa: F401
 from fog_spark.algos.msbfs import harmonic_centrality_milli, multi_source_bfs  # noqa: F401
 from fog_spark.algos.reach import AnchorReach, anchor_reachability  # noqa: F401
 from fog_spark.algos.scc import scc, scc_sizes  # noqa: F401

@@ -26,7 +26,13 @@ def _canonical_undirected(edges: DataFrame) -> DataFrame:
 
 def triangles(edges: DataFrame, degree_order: bool = True) -> DataFrame:
     """(a, b, c) rows, one per triangle, a<b<c."""
-    und = _canonical_undirected(edges)
+    return triangles_of_canonical(_canonical_undirected(edges), degree_order)
+
+
+def triangles_of_canonical(und: DataFrame, degree_order: bool = True) -> DataFrame:
+    """Triangle enumeration over an already-canonical (a<b, distinct,
+    loop-free) edge set — reused by the k-truss peel, which re-enumerates
+    on a shrinking edge set each round."""
     if degree_order:
         # orient each edge from the lower-(degree, id) endpoint to the
         # higher one: every vertex's oriented out-degree is O(sqrt(m)),

@@ -376,3 +376,177 @@ def anchor_reach_oracle(edges, n, n_anchors=16, rounds=8):
             break
         mask = nxt
     return {v: (m, bin(m).count("1")) for v, m in mask.items()}
+
+
+def node2vec_oracle(
+    edges, walk_len=6, p=1, q=1, trials=3, hash_fn="md5", walks_per_vertex=1
+):
+    """{(walk_id, step): vertex} — node2vec rejection-sampling walks
+    (operators.node2vec.node2vec_walks), exact mirror: pick idx =
+    H(w,t,r,cur) % outdeg over ascending-dst multi-neighbors; accept via
+    u32 * den < num * 2^32 with the class rational of the candidate;
+    first accepted trial wins, else trial 1's candidate; dangling absorb."""
+    import hashlib
+
+    from fog_spark.hashing import pmod as _pmod, xxhash64 as _xx
+    from fog_spark.operators.node2vec import _ratios
+
+    ret, nb, far = _ratios(p, q)
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, []).append(d)
+    for s in nbrs:
+        nbrs[s].sort()
+    nbset = set(edges)
+
+    def h(salt, w, t, r, cur):
+        if hash_fn == "md5":
+            s = f"{w}:{t}:{r}:{cur}"
+            if salt is not None:
+                s = f"{salt}:{s}"
+            return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+        if salt is not None:
+            return _xx(-7, w, t, r, cur)
+        return _xx(w, t, r, cur)
+
+    U32 = 1 << 32
+    W = walks_per_vertex
+    out = {}
+    for start in sorted(nbrs):
+        for j in range(W):
+            w = start * W + j
+            prev, cur = None, start
+            out[(w, 0)] = cur
+            for t in range(1, walk_len + 1):
+                if cur not in nbrs:
+                    prev = cur
+                    out[(w, t)] = cur
+                    continue
+                deg = len(nbrs[cur])
+                chosen = fallback = None
+                for r in range(1, trials + 1):
+                    x = nbrs[cur][_pmod(h(None, w, t, r, cur), deg)]
+                    if r == 1:
+                        fallback = x
+                    if prev is None:
+                        num, den = 1, 1
+                    elif x == prev:
+                        num, den = ret
+                    elif (prev, x) in nbset:
+                        num, den = nb
+                    else:
+                        num, den = far
+                    u32 = _pmod(h("a", w, t, r, cur), U32)
+                    if u32 * den < num * U32:
+                        chosen = x
+                        break
+                prev, cur = cur, (chosen if chosen is not None else fallback)
+                out[(w, t)] = cur
+    return out
+
+
+def hyperball_oracle(edges, m=16, rounds=8, hash_fn="md5"):
+    """{id: (sum2k, zeros)} — HyperBall in-ball HLL sketches
+    (algos.hyperball.hyperball_sketches): register-wise max propagation
+    along out-edges, sum2k = sum_j 2^(rho_max - M_j) exact."""
+    import hashlib
+
+    from fog_spark.hashing import pmod as _pmod, xxhash64 as _xx
+
+    b = m.bit_length() - 1
+    rho_max = 48 - b + 1
+    verts = sorted({v for e in edges for v in e})
+
+    def h48(v):
+        if hash_fn == "md5":
+            return int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+        return _pmod(_xx(v), 1 << 48)
+
+    regs = {}
+    for v in verts:
+        h = h48(v)
+        r = [0] * m
+        r[h % m] = rho_max - (h // m).bit_length()
+        regs[v] = r
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, []).append(d)
+    for _ in range(rounds):
+        nxt = {v: list(r) for v, r in regs.items()}
+        for s, ds in adj.items():
+            for d in ds:
+                nxt[d] = [max(a, c) for a, c in zip(nxt[d], regs[s])]
+        if nxt == regs:
+            break
+        regs = nxt
+    return {
+        v: (
+            sum(1 << (rho_max - x) for x in r),
+            sum(1 for x in r if x == 0),
+        )
+        for v, r in regs.items()
+    }
+
+
+def mis_oracle(edges, max_rounds=12, hash_fn="md5"):
+    """{id: True | False | None} — Luby MIS with (H48(r, id), id) hash
+    priorities (algos.mis.maximal_independent_set); None = undecided at
+    the round bound."""
+    import hashlib
+
+    from fog_spark.hashing import pmod as _pmod, xxhash64 as _xx
+
+    verts = sorted({v for e in edges for v in e})
+    nbrs = {v: set() for v in verts}
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+
+    def h48(r, v):
+        if hash_fn == "md5":
+            return int(hashlib.md5(f"{r}:{v}".encode()).hexdigest()[:12], 16)
+        return _pmod(_xx(r, v), 1 << 48)
+
+    status = {}
+    undecided = set(verts)
+    for r in range(1, max_rounds + 1):
+        pr = {v: (h48(r, v), v) for v in undecided}
+        winners = {
+            v
+            for v in undecided
+            if all(pr[u] > pr[v] for u in nbrs[v] if u in undecided)
+        }
+        losers = {
+            u for v in winners for u in nbrs[v] if u in undecided
+        } - winners
+        for v in winners:
+            status[v] = True
+        for v in losers:
+            status[v] = False
+        undecided -= winners | losers
+        if not undecided:
+            break
+    return {v: status.get(v) for v in verts}
+
+
+def ktruss_oracle(edges, k, max_rounds=8):
+    """{(a, b), ...} — edges of the k-truss after bounded peel rounds
+    (algos.ktruss.k_truss)."""
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    for _ in range(max_rounds):
+        if not und:
+            break
+        nbrs = {}
+        for a, b in und:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        new = {
+            (a, b)
+            for a, b in und
+            if len(nbrs[a] & nbrs[b]) >= k - 2
+        }
+        if new == und:
+            break
+        und = new
+    return und

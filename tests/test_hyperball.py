@@ -1,0 +1,62 @@
+"""HyperBall sketches vs the pure-Python oracle + estimator sanity."""
+
+import pytest
+
+from fog_spark.algos.hyperball import (
+    HyperBall,
+    hll_estimate,
+    hyperball_sketches,
+)
+from tests.conftest import make_edges_df
+from tests import graphs as GX
+
+GRAPH_IDS = list(GX.ALL_GRAPHS)
+
+
+def test_hyperball_param_validation():
+    with pytest.raises(ValueError):
+        HyperBall(m=12)
+    with pytest.raises(ValueError):
+        HyperBall(m=128)
+
+
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+@pytest.mark.parametrize("gname", GRAPH_IDS)
+def test_hyperball_match_oracle(spark, gname, hash_fn):
+    edges, n = GX.ALL_GRAPHS[gname]
+    got = {
+        r["id"]: (r["sum2k"], r["zeros"])
+        for r in hyperball_sketches(
+            make_edges_df(spark, edges), m=16, rounds=6, hash_fn=hash_fn
+        ).collect()
+    }
+    want = GX.hyperball_oracle(edges, m=16, rounds=6, hash_fn=hash_fn)
+    assert got == want, (gname, hash_fn)
+
+
+def test_hyperball_estimate_tracks_exact_reachability(spark):
+    # 40-vertex directed cycle: after r rounds every in-ball has exactly
+    # r+1 vertices. Linear counting at these cardinalities keeps the
+    # m=64 estimate within ~15% — enough to pin the estimator's shape.
+    from pyspark.sql import functions as F
+
+    edges = [(i, (i + 1) % 40) for i in range(40)]
+    for rounds, exact in [(2, 3), (6, 7)]:
+        sk = hyperball_sketches(
+            make_edges_df(spark, edges), m=64, rounds=rounds, hash_fn="md5"
+        )
+        rho_max = 48 - 6 + 1
+        avg = sk.select(
+            F.avg(hll_estimate(64, rho_max)).alias("e")
+        ).collect()[0]["e"]
+        assert abs(avg - exact) / exact < 0.15, (rounds, avg, exact)
+
+
+def test_hyperball_deterministic_across_partitioning(spark):
+    edges, n = GX.ALL_GRAPHS["star_hub"]
+    df = make_edges_df(spark, edges)
+    a = sorted(map(tuple, hyperball_sketches(df, m=16, rounds=4).collect()))
+    b = sorted(
+        map(tuple, hyperball_sketches(df.repartition(5), m=16, rounds=4).collect())
+    )
+    assert a == b

@@ -288,6 +288,57 @@ def _hyperball_sql(m: int, rounds: int) -> str:
     )
 
 
+def _hits_sql(iters: int) -> str:
+    """Unrolled integer-milli max-normalized HITS — mirrors
+    fog_spark.algos.hits.hits_milli exactly (`div`/`//` integer
+    division, operands non-negative; multi-edges count)."""
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES})",
+        f"v AS MATERIALIZED ({VERTS})",
+        "h0 AS MATERIALIZED (SELECT id, CAST(1000 AS BIGINT) AS s FROM v)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"ar{t} AS MATERIALIZED (SELECT v.id, COALESCE(x.s, 0) AS s FROM v "
+            f"LEFT JOIN (SELECT e.dst AS id, SUM(h.s) AS s FROM e "
+            f"JOIN h{t-1} h ON h.id = e.src GROUP BY e.dst) x ON x.id = v.id)"
+        )
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT id, CAST(CASE WHEN mx > 0 THEN "
+            f"(s * 1000) // mx ELSE 0 END AS BIGINT) AS s "
+            f"FROM ar{t}, (SELECT MAX(s) AS mx FROM ar{t}))"
+        )
+        ctes.append(
+            f"hr{t} AS MATERIALIZED (SELECT v.id, COALESCE(x.s, 0) AS s FROM v "
+            f"LEFT JOIN (SELECT e.src AS id, SUM(a.s) AS s FROM e "
+            f"JOIN a{t} a ON a.id = e.dst GROUP BY e.src) x ON x.id = v.id)"
+        )
+        ctes.append(
+            f"h{t} AS MATERIALIZED (SELECT id, CAST(CASE WHEN mx > 0 THEN "
+            f"(s * 1000) // mx ELSE 0 END AS BIGINT) AS s "
+            f"FROM hr{t}, (SELECT MAX(s) AS mx FROM hr{t}))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT a.id, a.s AS auth_milli, h.s AS hub_milli "
+        f"FROM a{iters} a JOIN h{iters} h ON h.id = a.id"
+    )
+
+
+def _neighbor_sample_sql(k: int) -> str:
+    """Mirrors fog_spark.operators.sampling.sample_neighbors(hash_fn='md5'):
+    k smallest (md5_48(src:dst), dst) per src over distinct neighbors."""
+    return f"""
+WITH e AS MATERIALIZED ({EDGES}),
+d AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY
+  CAST('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR), 1, 12) AS BIGINT),
+  dst) AS rn FROM d)
+SELECT src, dst FROM r WHERE rn <= {k}
+"""
+
+
 def _ktruss_sql(k: int, max_rounds: int) -> str:
     """Unrolled k-truss peel — mirrors fog_spark.algos.ktruss.k_truss
     exactly: per round, per-edge support = |N(a) & N(b)| over the
@@ -776,6 +827,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _edges(spark, sf), walk_len=4, p=4, q=0.25, trials=3, hash_fn="md5"
         )
 
+    def hits4_milli(spark, sf):
+        from fog_spark.algos.hits import hits_milli
+
+        return hits_milli(_edges(spark, sf), iters=4)
+
+    def neighbor_sample3(spark, sf):
+        from fog_spark.operators.sampling import sample_neighbors
+
+        return sample_neighbors(_edges(spark, sf), k=3, hash_fn="md5")
+
     def ktruss3(spark, sf):
         from fog_spark.algos.ktruss import k_truss
 
@@ -1060,6 +1121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball8": hyperball8,
         "mis12": mis12,
         "ktruss3": ktruss3,
+        "hits4_milli": hits4_milli,
+        "neighbor_sample3": neighbor_sample3,
         "msbfs4": msbfs4,
         "harmonic4_milli": harmonic4_milli,
         "anchor_reach8": anchor_reach8,
@@ -1245,6 +1308,8 @@ SELECT scc, COUNT(*) AS size FROM lbl GROUP BY scc""",
         "hyperball8": _hyperball_sql(16, 8),
         "mis12": _mis_sql(12),
         "ktruss3": _ktruss_sql(3, 4),
+        "hits4_milli": _hits_sql(4),
+        "neighbor_sample3": _neighbor_sample_sql(3),
         "anchor_reach8": _anchor_reach_sql(16, 8),
         "msbfs4": _msbfs_sql([0, 1, 2, 3], 16, "SELECT id, seed, dist FROM $LAST"),
         "harmonic4_milli": _msbfs_sql(

@@ -6,6 +6,7 @@ from fog_spark.algos.lpa import LabelPropagation  # noqa: F401
 from fog_spark.algos.traversal import BFS, SSSP  # noqa: F401
 from fog_spark.algos.mis import maximal_independent_set  # noqa: F401
 from fog_spark.algos.msf import msf, msf_total_weight  # noqa: F401
+from fog_spark.algos.hits import hits_milli  # noqa: F401
 from fog_spark.algos.hyperball import HyperBall, hyperball_sketches  # noqa: F401
 from fog_spark.algos.msbfs import harmonic_centrality_milli, multi_source_bfs  # noqa: F401
 from fog_spark.algos.reach import AnchorReach, anchor_reachability  # noqa: F401

@@ -550,3 +550,45 @@ def ktruss_oracle(edges, k, max_rounds=8):
             break
         und = new
     return und
+
+
+def hits_oracle(edges, iters=4):
+    """{id: (auth_milli, hub_milli)} — integer-milli max-normalized HITS
+    (algos.hits.hits_milli); multi-edges count with multiplicity."""
+    verts = sorted({v for e in edges for v in e})
+    h = {v: 1000 for v in verts}
+    a = {v: 0 for v in verts}
+    for _ in range(iters):
+        raw = {v: 0 for v in verts}
+        for s, d in edges:
+            raw[d] += h[s]
+        mx = max(raw.values()) if raw else 0
+        a = {v: (raw[v] * 1000) // mx if mx > 0 else 0 for v in verts}
+        raw = {v: 0 for v in verts}
+        for s, d in edges:
+            raw[s] += a[d]
+        mx = max(raw.values()) if raw else 0
+        h = {v: (raw[v] * 1000) // mx if mx > 0 else 0 for v in verts}
+    return {v: (a[v], h[v]) for v in verts}
+
+
+def sample_neighbors_oracle(edges, k, hash_fn="md5"):
+    """{(src, dst), ...} — k smallest (H(src, dst), dst) per src over
+    distinct out-neighbors (operators.sampling.sample_neighbors)."""
+    import hashlib
+
+    from fog_spark.hashing import xxhash64 as _xx
+
+    def h(s, d):
+        if hash_fn == "md5":
+            return int(hashlib.md5(f"{s}:{d}".encode()).hexdigest()[:12], 16)
+        return _xx(s, d)
+
+    by_src = {}
+    for s, d in set(edges):
+        by_src.setdefault(s, []).append(d)
+    out = set()
+    for s, ds in by_src.items():
+        for d in sorted(ds, key=lambda d: (h(s, d), d))[:k]:
+            out.add((s, d))
+    return out

@@ -288,6 +288,40 @@ def _hyperball_sql(m: int, rounds: int) -> str:
     )
 
 
+def _spcount_sql(seeds: list[int], rounds: int) -> str:
+    """Unrolled MS-BFS with shortest-path counting — mirrors
+    algos.msbfs.shortest_path_counts exactly: layer/settled split (the
+    union-min trick used by _msbfs_sql can't carry sigma), sigma of a
+    new vertex = sum of frontier parents' sigmas."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    ctes = [
+        f"e0 AS MATERIALIZED ({EDGES})",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0)",
+        f"l0 AS MATERIALIZED (SELECT CAST(seed AS BIGINT) AS id, "
+        f"CAST(seed AS BIGINT) AS seed, CAST(0 AS BIGINT) AS dist, "
+        f"CAST(1 AS BIGINT) AS sigma "
+        f"FROM (SELECT unnest([{seed_list}]) AS seed))",
+        "s0 AS MATERIALIZED (SELECT * FROM l0)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT g.id, g.seed, g.dist, g.sigma FROM ("
+            f"SELECT e.dst AS id, r.seed, CAST(MIN(r.dist) + 1 AS BIGINT) AS dist, "
+            f"CAST(SUM(r.sigma) AS BIGINT) AS sigma "
+            f"FROM l{k-1} r JOIN e ON e.src = r.id GROUP BY e.dst, r.seed) g "
+            f"LEFT JOIN s{k-1} s ON s.id = g.id AND s.seed = g.seed "
+            f"WHERE s.id IS NULL)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT * FROM s{k-1} UNION ALL SELECT * FROM l{k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, seed, dist, sigma FROM s{rounds}"
+    )
+
+
 def _hits_sql(iters: int) -> str:
     """Unrolled integer-milli max-normalized HITS — mirrors
     fog_spark.algos.hits.hits_milli exactly (`div`/`//` integer
@@ -827,6 +861,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _edges(spark, sf), walk_len=4, p=4, q=0.25, trials=3, hash_fn="md5"
         )
 
+    def spcount4(spark, sf):
+        from fog_spark.algos.msbfs import shortest_path_counts
+
+        return shortest_path_counts(
+            _edges(spark, sf), [0, 1, 2, 3], max_rounds=16
+        )
+
     def hits4_milli(spark, sf):
         from fog_spark.algos.hits import hits_milli
 
@@ -1122,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis12": mis12,
         "ktruss3": ktruss3,
         "hits4_milli": hits4_milli,
+        "spcount4": spcount4,
         "neighbor_sample3": neighbor_sample3,
         "msbfs4": msbfs4,
         "harmonic4_milli": harmonic4_milli,
@@ -1309,6 +1351,7 @@ SELECT scc, COUNT(*) AS size FROM lbl GROUP BY scc""",
         "mis12": _mis_sql(12),
         "ktruss3": _ktruss_sql(3, 4),
         "hits4_milli": _hits_sql(4),
+        "spcount4": _spcount_sql([0, 1, 2, 3], 16),
         "neighbor_sample3": _neighbor_sample_sql(3),
         "anchor_reach8": _anchor_reach_sql(16, 8),
         "msbfs4": _msbfs_sql([0, 1, 2, 3], 16, "SELECT id, seed, dist FROM $LAST"),

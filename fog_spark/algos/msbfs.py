@@ -84,6 +84,61 @@ def multi_source_bfs(
     return state
 
 
+def shortest_path_counts(
+    edges: DataFrame,
+    seeds: Sequence[int],
+    max_rounds: int = 16,
+) -> DataFrame:
+    """``(id, seed, dist, sigma)`` — hop distance AND number of distinct
+    shortest paths from each seed (Brandes' forward pass, the sigma of
+    betweenness/stress centrality). Because every MS-BFS layer is
+    distance-uniform per seed, sigma of a newly settled vertex is simply
+    the SUM of its frontier parents' sigmas — one extra aggregate in the
+    same per-round plan as ``multi_source_bfs``. Simple-graph semantics
+    (parallel edges deduplicated). Counts are exact longs; on adversarial
+    dense DAGs sigma grows exponentially with depth, and ANSI mode makes
+    an int64 overflow throw rather than silently wrap (bounded rounds +
+    the gate graphs keep it far below that)."""
+    spark = edges.sparkSession
+    M = Materializer(spark)
+    e = M.checkpoint(
+        G.normalize_edges(edges).select("src", "dst").distinct()
+    )
+    seed_rows = [(int(s),) for s in dict.fromkeys(seeds)]
+    state = M.checkpoint(
+        spark.createDataFrame(seed_rows, "seed long").select(
+            F.col("seed").alias("id"),
+            "seed",
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    )
+    frontier = state
+    for _ in range(max_rounds):
+        grown = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .groupBy(e["dst"].alias("id"), "seed")
+            .agg(
+                (F.min("dist") + F.lit(1)).cast("long").alias("dist"),
+                F.sum("sigma").cast("long").alias("sigma"),
+            )
+            .join(state.select("id", "seed"), ["id", "seed"], "left_anti")
+        )
+        new_frontier = M.checkpoint(grown)
+        if new_frontier.isEmpty():
+            M.free(new_frontier)
+            break
+        new_state = M.checkpoint(state.unionByName(new_frontier))
+        M.free(state)
+        M.free(frontier)
+        state = new_state
+        frontier = new_frontier
+    if frontier is not state:
+        M.free(frontier)
+    M.free(e)
+    return state
+
+
 def harmonic_centrality_milli(
     edges: DataFrame,
     seeds: Sequence[int],

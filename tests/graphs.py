@@ -592,3 +592,25 @@ def sample_neighbors_oracle(edges, k, hash_fn="md5"):
         for d in sorted(ds, key=lambda d: (h(s, d), d))[:k]:
             out.add((s, d))
     return out
+
+
+def spcount_oracle(edges, seeds, max_rounds=16):
+    """{(id, seed): (dist, sigma)} — distances + shortest-path counts
+    (algos.msbfs.shortest_path_counts), simple-graph semantics."""
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    state = {(s, s): (0, 1) for s in seeds}
+    frontier = {(s, s): 1 for s in seeds}
+    for r in range(1, max_rounds + 1):
+        grown = {}
+        for (v, s), sig in frontier.items():
+            for w in adj.get(v, ()):
+                if (w, s) not in state:
+                    grown[(w, s)] = grown.get((w, s), 0) + sig
+        if not grown:
+            break
+        for k, sig in grown.items():
+            state[k] = (r, sig)
+        frontier = grown
+    return state

@@ -42,3 +42,35 @@ def test_harmonic_matches_oracle(spark, gname):
     }
     want = GX.harmonic_milli_oracle(edges, seeds)
     assert got == want, gname
+
+
+def test_spcount_match_oracle(spark):
+    from fog_spark.algos.msbfs import shortest_path_counts
+
+    for gname in GX.ALL_GRAPHS:
+        edges, n = GX.ALL_GRAPHS[gname]
+        seeds = sorted({s for s, _ in edges})[:3]
+        got = {
+            (r["id"], r["seed"]): (r["dist"], r["sigma"])
+            for r in shortest_path_counts(
+                make_edges_df(spark, edges), seeds, max_rounds=8
+            ).collect()
+        }
+        assert got == GX.spcount_oracle(edges, seeds, max_rounds=8), gname
+
+
+def test_spcount_diamond_multiplicity(spark):
+    # diamond 0->{1,2}->3 plus 3->4: two shortest paths 0..3, so
+    # sigma(3)=2 and sigma(4)=2; BFS dist unaffected
+    from fog_spark.algos.msbfs import shortest_path_counts
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    got = {
+        (r["id"], r["seed"]): (r["dist"], r["sigma"])
+        for r in shortest_path_counts(
+            make_edges_df(spark, edges), [0], max_rounds=8
+        ).collect()
+    }
+    assert got[(3, 0)] == (2, 2)
+    assert got[(4, 0)] == (3, 2)
+    assert got[(0, 0)] == (0, 1)

@@ -501,6 +501,39 @@ def _node2vec_sql(walk_len: int, p=4, q=0.25, trials: int = 3) -> str:
 
 
 def _lpa_sql(rounds: int) -> str:
+    return "WITH " + ",\n".join(_lpa_ctes(rounds)) + f"\nSELECT id, label FROM l{rounds}"
+
+
+def _lpa_modularity_sql(rounds: int) -> str:
+    """Integer modularity (floor(1000*(Q+1)), m) of the LPA labeling —
+    mirrors fog_spark.algos.modularity.modularity_plus1_milli over the
+    canonical undirected simple graph; non-negative dividend so DuckDB
+    `//` (floor) and Spark `div` (truncate) agree."""
+    ctes = _lpa_ctes(rounds) + [
+        "cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e WHERE src <> dst)",
+        "mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM cu)",
+        "degs AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM ("
+        "SELECT a AS id FROM cu UNION ALL SELECT b FROM cu) GROUP BY id)",
+        f"lab AS MATERIALIZED (SELECT id, label FROM l{rounds})",
+        "ec AS MATERIALIZED (SELECT l1.label, COUNT(*) AS e_c FROM cu u "
+        "JOIN lab l1 ON l1.id = u.a JOIN lab l2 ON l2.id = u.b "
+        "AND l2.label = l1.label GROUP BY l1.label)",
+        "dc AS MATERIALIZED (SELECT l.label, SUM(d.d) AS d_c FROM lab l "
+        "JOIN degs d ON d.id = l.id GROUP BY l.label)",
+        "qn AS MATERIALIZED (SELECT SUM(4 * mm.m * COALESCE(ec.e_c, 0) "
+        "- dc.d_c * dc.d_c) AS qnum, MAX(mm.m) AS m "
+        "FROM dc LEFT JOIN ec ON ec.label = dc.label CROSS JOIN mm)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(((qnum + 4 * m * m) * 1000) // (4 * m * m) AS BIGINT) "
+        "AS q_plus1_milli, CAST(m AS BIGINT) AS m_edges FROM qn"
+    )
+
+
+def _lpa_ctes(rounds: int) -> list[str]:
     ctes = [
         f"e AS MATERIALIZED ({EDGES})",
         "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
@@ -520,7 +553,7 @@ def _lpa_sql(rounds: int) -> str:
             f"JOIN l{k-1} p ON p.id = u.src GROUP BY u.dst, p.label) c"
             f") rr WHERE rn = 1) w ON w.dst = base.id)"
         )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
+    return ctes
 
 
 # ------------------------------------------------------------ spark helpers
@@ -901,9 +934,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _edges(spark, sf), m=16, rounds=8, hash_fn="md5"
         )
 
+    def _lpa5_state(spark, sf):
+        key = ("lpa5", sf)
+        if key not in _STATE_CACHE:
+            res = _engine(spark).run(LabelPropagation(max_iters=5), _edges(spark, sf))
+            _STATE_CACHE[key] = res.state.select("id", "label")
+        return _STATE_CACHE[key]
+
     def lpa5_labels(spark, sf):
-        res = _engine(spark).run(LabelPropagation(max_iters=5), _edges(spark, sf))
-        return res.state.select("id", "label")
+        return _lpa5_state(spark, sf)
+
+    def lpa5_modularity_milli(spark, sf):
+        from fog_spark.algos.modularity import modularity_plus1_milli
+
+        return modularity_plus1_milli(_edges(spark, sf), _lpa5_state(spark, sf))
+
+    def egonet2(spark, sf):
+        from fog_spark.algos.msbfs import ego_network
+
+        return ego_network(_edges(spark, sf), [0, 1, 2, 3], k=2)
 
     def triangle_count_q(spark, sf):
         return triangles(_edges(spark, sf)).agg(
@@ -1164,6 +1213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss3": ktruss3,
         "hits4_milli": hits4_milli,
         "spcount4": spcount4,
+        "lpa5_modularity_milli": lpa5_modularity_milli,
+        "egonet2": egonet2,
         "neighbor_sample3": neighbor_sample3,
         "msbfs4": msbfs4,
         "harmonic4_milli": harmonic4_milli,
@@ -1352,6 +1403,14 @@ SELECT scc, COUNT(*) AS size FROM lbl GROUP BY scc""",
         "ktruss3": _ktruss_sql(3, 4),
         "hits4_milli": _hits_sql(4),
         "spcount4": _spcount_sql([0, 1, 2, 3], 16),
+        "lpa5_modularity_milli": _lpa_modularity_sql(5),
+        "egonet2": _msbfs_sql(
+            [0, 1, 2, 3],
+            2,
+            "SELECT e.src, e.dst FROM e "
+            "JOIN (SELECT DISTINCT id FROM $LAST) a ON a.id = e.src "
+            "JOIN (SELECT DISTINCT id FROM $LAST) b ON b.id = e.dst",
+        ),
         "neighbor_sample3": _neighbor_sample_sql(3),
         "anchor_reach8": _anchor_reach_sql(16, 8),
         "msbfs4": _msbfs_sql([0, 1, 2, 3], 16, "SELECT id, seed, dist FROM $LAST"),

@@ -8,7 +8,13 @@ from fog_spark.algos.mis import maximal_independent_set  # noqa: F401
 from fog_spark.algos.msf import msf, msf_total_weight  # noqa: F401
 from fog_spark.algos.hits import hits_milli  # noqa: F401
 from fog_spark.algos.hyperball import HyperBall, hyperball_sketches  # noqa: F401
-from fog_spark.algos.msbfs import harmonic_centrality_milli, multi_source_bfs  # noqa: F401
+from fog_spark.algos.modularity import modularity_plus1_milli, modularity_terms  # noqa: F401
+from fog_spark.algos.msbfs import (  # noqa: F401
+    ego_network,
+    harmonic_centrality_milli,
+    multi_source_bfs,
+    shortest_path_counts,
+)
 from fog_spark.algos.reach import AnchorReach, anchor_reachability  # noqa: F401
 from fog_spark.algos.scc import scc, scc_sizes  # noqa: F401
 from fog_spark.algos.spmv import spmv  # noqa: F401

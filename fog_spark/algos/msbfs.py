@@ -139,6 +139,24 @@ def shortest_path_counts(
     return state
 
 
+def ego_network(
+    edges: DataFrame,
+    seeds: Sequence[int],
+    k: int = 2,
+) -> DataFrame:
+    """``(src, dst)`` — the distinct edges of the k-hop out-ego-network
+    around ``seeds``: both endpoints within directed hop distance <= k
+    of SOME seed (the subgraph a GNN mini-batch or a neighborhood
+    sampler trains on). One MS-BFS plus two semi-joins."""
+    reached = multi_source_bfs(edges, seeds, max_rounds=k).select("id").distinct()
+    e = G.normalize_edges(edges).select("src", "dst").distinct()
+    return (
+        e.join(reached.withColumnRenamed("id", "src"), "src", "left_semi")
+        .join(reached.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )
+
+
 def harmonic_centrality_milli(
     edges: DataFrame,
     seeds: Sequence[int],

@@ -614,3 +614,36 @@ def spcount_oracle(edges, seeds, max_rounds=16):
             state[k] = (r, sig)
         frontier = grown
     return state
+
+
+def modularity_oracle(edges, labels):
+    """(q_plus1_milli, m) — integer modularity of a labeling over the
+    canonical undirected simple graph (algos.modularity)."""
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    m = len(und)
+    if m == 0:
+        return None
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ec = {}
+    dc = {}
+    for a, b in und:
+        if labels.get(a) == labels.get(b) and labels.get(a) is not None:
+            ec[labels[a]] = ec.get(labels[a], 0) + 1
+    for v, d in deg.items():
+        if v in labels:
+            dc[labels[v]] = dc.get(labels[v], 0) + d
+    qnum = sum(4 * m * ec.get(c, 0) - dcv * dcv for c, dcv in dc.items())
+    return ((qnum + 4 * m * m) * 1000) // (4 * m * m), m
+
+
+def ego_network_oracle(edges, seeds, k=2):
+    """{(src, dst), ...} — distinct edges with both endpoints within
+    directed distance <= k of some seed (algos.msbfs.ego_network)."""
+    dist = msbfs_oracle(edges, seeds, max_rounds=k)
+    reached = {v for (v, s) in dist}
+    return {
+        (s, d) for s, d in set(edges) if s in reached and d in reached
+    }

@@ -322,6 +322,41 @@ def _spcount_sql(seeds: list[int], rounds: int) -> str:
     )
 
 
+def _spcont_sql(seeds: list[int], rounds: int) -> str:
+    """Unrolled Brandes integer pair — mirrors
+    algos.msbfs.sp_continuations: the _spcount_sql forward pass, then a
+    static backward unroll t_d = 1 + sum of t_{d+1} over SP-DAG
+    successors; layers past the actual eccentricity are empty, so the
+    static depth works for any dmax <= rounds."""
+    fwd = _spcount_sql(seeds, rounds)
+    head, _, _tail = fwd.rpartition("\nSELECT")
+    ctes = [head + f",\nsp AS MATERIALIZED (SELECT * FROM s{rounds})"]
+    ctes.append(
+        f"t{rounds} AS MATERIALIZED (SELECT id, seed, CAST(1 AS BIGINT) AS t "
+        f"FROM sp WHERE dist = {rounds})"
+    )
+    for d in range(rounds - 1, -1, -1):
+        ctes.append(
+            f"t{d} AS MATERIALIZED (SELECT l.id, l.seed, "
+            f"CAST(1 + COALESCE(x.ts, 0) AS BIGINT) AS t "
+            f"FROM (SELECT id, seed FROM sp WHERE dist = {d}) l "
+            f"LEFT JOIN (SELECT l2.id, l2.seed, SUM(w.t) AS ts "
+            f"FROM (SELECT id, seed FROM sp WHERE dist = {d}) l2 "
+            f"JOIN e ON e.src = l2.id "
+            f"JOIN t{d+1} w ON w.id = e.dst AND w.seed = l2.seed "
+            f"GROUP BY l2.id, l2.seed) x ON x.id = l.id AND x.seed = l.seed)"
+        )
+    allt = " UNION ALL ".join(
+        f"SELECT * FROM t{d}" for d in range(0, rounds + 1)
+    )
+    ctes.append(f"tt AS MATERIALIZED ({allt})")
+    return (
+        ",\n".join(ctes)
+        + "\nSELECT sp.id, sp.seed, sp.dist, sp.sigma, tt.t AS t_cont "
+        "FROM sp JOIN tt ON tt.id = sp.id AND tt.seed = sp.seed"
+    )
+
+
 def _hits_sql(iters: int) -> str:
     """Unrolled integer-milli max-normalized HITS — mirrors
     fog_spark.algos.hits.hits_milli exactly (`div`/`//` integer
@@ -901,6 +936,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _edges(spark, sf), [0, 1, 2, 3], max_rounds=16
         )
 
+    def spcont8(spark, sf):
+        from fog_spark.algos.msbfs import sp_continuations
+
+        return sp_continuations(_edges(spark, sf), [0, 1, 2, 3], max_rounds=8)
+
     def hits4_milli(spark, sf):
         from fog_spark.algos.hits import hits_milli
 
@@ -1214,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits4_milli": hits4_milli,
         "spcount4": spcount4,
         "lpa5_modularity_milli": lpa5_modularity_milli,
+        "spcont8": spcont8,
         "egonet2": egonet2,
         "neighbor_sample3": neighbor_sample3,
         "msbfs4": msbfs4,
@@ -1404,6 +1445,7 @@ SELECT scc, COUNT(*) AS size FROM lbl GROUP BY scc""",
         "hits4_milli": _hits_sql(4),
         "spcount4": _spcount_sql([0, 1, 2, 3], 16),
         "lpa5_modularity_milli": _lpa_modularity_sql(5),
+        "spcont8": _spcont_sql([0, 1, 2, 3], 8),
         "egonet2": _msbfs_sql(
             [0, 1, 2, 3],
             2,

@@ -139,6 +139,73 @@ def shortest_path_counts(
     return state
 
 
+def sp_continuations(
+    edges: DataFrame,
+    seeds: Sequence[int],
+    max_rounds: int = 16,
+) -> DataFrame:
+    """``(id, seed, dist, sigma, t_cont)`` — the integer Brandes pair:
+    ``sigma`` = shortest paths seed->id, ``t_cont`` = number of
+    shortest-path CONTINUATIONS from id (t(v) = 1 + sum of t(w) over
+    SP-DAG successors w, i.e. dist(w) = dist(v)+1 along an edge v->w;
+    the +1 counts the path ending at v itself). The product
+    ``sigma * t_cont`` is the number of seed-shortest paths THROUGH or
+    ENDING AT id — the stress-centrality term — computed entirely in
+    exact integers where float betweenness deltas would be
+    order-dependent.
+
+    Forward pass = ``shortest_path_counts``; backward pass peels layers
+    from the deepest distance down, one join + groupBy per layer
+    (bounded by the actual eccentricity <= max_rounds). Simple-graph
+    semantics; ANSI overflow throws rather than wraps."""
+    spark = edges.sparkSession
+    M = Materializer(spark)
+    fwd = shortest_path_counts(edges, seeds, max_rounds=max_rounds)
+    fwd = M.checkpoint(fwd)
+    e = M.checkpoint(G.normalize_edges(edges).select("src", "dst").distinct())
+    dmax = fwd.agg(F.max("dist")).collect()[0][0]
+    # t at the deepest layer is 1 (no successors); walk upward. t rows
+    # carry dist so each layer's join can demand the EXACT SP-DAG
+    # successor condition dist(w) = dist(v) + 1 (an edge into a deeper or
+    # shallower settled vertex is not a shortest-path continuation).
+    t = M.checkpoint(
+        fwd.where(F.col("dist") == dmax).select(
+            "id", "seed", "dist", F.lit(1).cast("long").alias("t_cont")
+        )
+    )
+    for d in range(int(dmax) - 1, -1, -1):
+        layer = fwd.where(F.col("dist") == d)
+        succ = (
+            layer.join(e, layer["id"] == e["src"])
+            .join(
+                t.where(F.col("dist") == d + 1).select(
+                    F.col("id").alias("_wid"),
+                    F.col("seed").alias("_wseed"),
+                    F.col("t_cont").alias("_wt"),
+                ),
+                (F.col("dst") == F.col("_wid")) & (F.col("seed") == F.col("_wseed")),
+            )
+            .groupBy(layer["id"], layer["seed"])
+            .agg(F.sum("_wt").alias("_ts"))
+        )
+        grown = layer.join(succ, ["id", "seed"], "left").select(
+            "id",
+            "seed",
+            "dist",
+            (F.coalesce(F.col("_ts"), F.lit(0)) + F.lit(1)).cast("long").alias("t_cont"),
+        )
+        # t accumulates shallower layers; deeper rows stay as computed
+        t = M.swap(t, t.unionByName(grown))
+    out = fwd.join(
+        t.select("id", "seed", "t_cont"), ["id", "seed"]
+    ).select("id", "seed", "dist", "sigma", "t_cont")
+    result = M.checkpoint(out)
+    M.free(t)
+    M.free(fwd)
+    M.free(e)
+    return result
+
+
 def ego_network(
     edges: DataFrame,
     seeds: Sequence[int],

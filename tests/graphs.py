@@ -647,3 +647,21 @@ def ego_network_oracle(edges, seeds, k=2):
     return {
         (s, d) for s, d in set(edges) if s in reached and d in reached
     }
+
+
+def spcont_oracle(edges, seeds, max_rounds=16):
+    """{(id, seed): (dist, sigma, t_cont)} — Brandes integer pair
+    (algos.msbfs.sp_continuations): t(v) = 1 + sum of t over SP-DAG
+    successors (dist + 1 along an edge)."""
+    base = spcount_oracle(edges, seeds, max_rounds)
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    t = {}
+    for (v, s), (d, sig) in sorted(base.items(), key=lambda kv: -kv[1][0]):
+        t[(v, s)] = 1 + sum(
+            t[(w, s)]
+            for w in adj.get(v, ())
+            if (w, s) in base and base[(w, s)][0] == d + 1
+        )
+    return {k: (dv, sg, t[k]) for k, (dv, sg) in base.items()}

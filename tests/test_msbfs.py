@@ -74,3 +74,33 @@ def test_spcount_diamond_multiplicity(spark):
     assert got[(3, 0)] == (2, 2)
     assert got[(4, 0)] == (3, 2)
     assert got[(0, 0)] == (0, 1)
+
+
+def test_spcont_match_oracle(spark):
+    from fog_spark.algos.msbfs import sp_continuations
+
+    for gname in GX.ALL_GRAPHS:
+        edges, n = GX.ALL_GRAPHS[gname]
+        seeds = sorted({s for s, _ in edges})[:3]
+        got = {
+            (r["id"], r["seed"]): (r["dist"], r["sigma"], r["t_cont"])
+            for r in sp_continuations(
+                make_edges_df(spark, edges), seeds, max_rounds=8
+            ).collect()
+        }
+        assert got == GX.spcont_oracle(edges, seeds, max_rounds=8), gname
+
+
+def test_spcont_stress_diamond(spark):
+    # diamond 0->{1,2}->3->4: sigma(3)=2, continuations from 0 count all
+    # path endpoints below it: t(4)=1, t(3)=2, t(1)=t(2)=3, t(0)=7
+    from fog_spark.algos.msbfs import sp_continuations
+
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    got = {
+        r["id"]: (r["sigma"], r["t_cont"])
+        for r in sp_continuations(
+            make_edges_df(spark, edges), [0], max_rounds=8
+        ).collect()
+    }
+    assert got == {0: (1, 7), 1: (1, 3), 2: (1, 3), 3: (2, 2), 4: (2, 1)}

@@ -10,10 +10,12 @@ from fog_spark.algos.hits import hits_milli  # noqa: F401
 from fog_spark.algos.hyperball import HyperBall, hyperball_sketches  # noqa: F401
 from fog_spark.algos.modularity import modularity_plus1_milli, modularity_terms  # noqa: F401
 from fog_spark.algos.msbfs import (  # noqa: F401
+    betweenness_sampled,
     ego_network,
     harmonic_centrality_milli,
     multi_source_bfs,
     shortest_path_counts,
+    sp_continuations,
 )
 from fog_spark.algos.reach import AnchorReach, anchor_reachability  # noqa: F401
 from fog_spark.algos.scc import scc, scc_sizes  # noqa: F401

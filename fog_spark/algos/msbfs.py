@@ -206,6 +206,71 @@ def sp_continuations(
     return result
 
 
+def betweenness_sampled(
+    edges: DataFrame,
+    seeds: Sequence[int],
+    max_rounds: int = 16,
+) -> DataFrame:
+    """``(id, betweenness)`` — Brandes betweenness restricted to the
+    sampled seed set: delta_s(v) = sum over SP-DAG successors w of
+    (sigma_v / sigma_w) * (1 + delta_w), summed over seeds (endpoints
+    excluded). Floats (the deltas are inherently rational with
+    per-vertex denominators), so this is pytest-verified against a
+    pure-Python Brandes rather than gate-hashed — the integer-exact
+    sibling is ``sp_continuations``. Scaling the seed sample estimates
+    full betweenness (Brandes & Pich 2007). Same layered backward plan
+    as sp_continuations: one join + groupBy per distance layer."""
+    spark = edges.sparkSession
+    M = Materializer(spark)
+    fwd = M.checkpoint(shortest_path_counts(edges, seeds, max_rounds=max_rounds))
+    e = M.checkpoint(G.normalize_edges(edges).select("src", "dst").distinct())
+    dmax = fwd.agg(F.max("dist")).collect()[0][0]
+    delta = M.checkpoint(
+        fwd.where(F.col("dist") == dmax).select(
+            "id", "seed", "dist", F.lit(0.0).alias("delta")
+        )
+    )
+    for d in range(int(dmax) - 1, -1, -1):
+        layer = fwd.where(F.col("dist") == d)
+        succ = (
+            layer.join(e, layer["id"] == e["src"])
+            .join(
+                delta.where(F.col("dist") == d + 1)
+                .join(
+                    fwd.select(
+                        F.col("id").alias("_wid"),
+                        F.col("seed").alias("_wseed"),
+                        F.col("sigma").alias("_wsigma"),
+                    ),
+                    (F.col("id") == F.col("_wid")) & (F.col("seed") == F.col("_wseed")),
+                )
+                .select("_wid", "_wseed", "_wsigma", F.col("delta").alias("_wdelta")),
+                (F.col("dst") == F.col("_wid")) & (F.col("seed") == F.col("_wseed")),
+            )
+            .groupBy(layer["id"], layer["seed"])
+            .agg(
+                F.sum((F.lit(1.0) + F.col("_wdelta")) / F.col("_wsigma")).alias("_part")
+            )
+        )
+        grown = layer.join(succ, ["id", "seed"], "left").select(
+            "id",
+            "seed",
+            "dist",
+            (F.coalesce(F.col("_part"), F.lit(0.0)) * F.col("sigma")).alias("delta"),
+        )
+        delta = M.swap(delta, delta.unionByName(grown))
+    out = (
+        delta.where(F.col("id") != F.col("seed"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
+    result = M.checkpoint(out)
+    M.free(delta)
+    M.free(fwd)
+    M.free(e)
+    return result
+
+
 def ego_network(
     edges: DataFrame,
     seeds: Sequence[int],

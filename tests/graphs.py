@@ -665,3 +665,43 @@ def spcont_oracle(edges, seeds, max_rounds=16):
             if (w, s) in base and base[(w, s)][0] == d + 1
         )
     return {k: (dv, sg, t[k]) for k, (dv, sg) in base.items()}
+
+
+def betweenness_oracle(edges, seeds, max_rounds=16):
+    """{id: betweenness} — textbook Brandes restricted to the seed
+    sample (algos.msbfs.betweenness_sampled), directed, unweighted."""
+    from collections import deque
+
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    verts = sorted({v for e in edges for v in e})
+    bc = {v: 0.0 for v in verts}
+    for s in seeds:
+        dist = {s: 0}
+        sigma = {s: 1}
+        preds = {s: []}
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] >= max_rounds:
+                continue
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0
+                    preds[w] = []
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in order}
+        for v in reversed(order):
+            for u in preds[v]:
+                delta[u] += sigma[u] / sigma[v] * (1 + delta[v])
+        for v in order:
+            if v != s:
+                bc[v] += delta[v]
+    return bc

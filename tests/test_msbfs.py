@@ -104,3 +104,34 @@ def test_spcont_stress_diamond(spark):
         ).collect()
     }
     assert got == {0: (1, 7), 1: (1, 3), 2: (1, 3), 3: (2, 2), 4: (2, 1)}
+
+
+def test_betweenness_match_oracle(spark):
+    from fog_spark.algos.msbfs import betweenness_sampled
+
+    for gname in GX.ALL_GRAPHS:
+        edges, n = GX.ALL_GRAPHS[gname]
+        seeds = sorted({s for s, _ in edges})[:3]
+        got = {
+            r["id"]: r["betweenness"]
+            for r in betweenness_sampled(
+                make_edges_df(spark, edges), seeds, max_rounds=8
+            ).collect()
+        }
+        want = GX.betweenness_oracle(edges, seeds, max_rounds=8)
+        for v, b in want.items():
+            assert abs(got.get(v, 0.0) - b) < 1e-9, (gname, v, got.get(v), b)
+
+
+def test_betweenness_path_graph(spark):
+    # path 0->1->2->3 from seed 0: delta(1)=2 (pairs (0,2),(0,3)),
+    # delta(2)=1, endpoints 0
+    from fog_spark.algos.msbfs import betweenness_sampled
+
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_sampled(
+            make_edges_df(spark, [(0, 1), (1, 2), (2, 3)]), [0]
+        ).collect()
+    }
+    assert got == {1: 2.0, 2: 1.0, 3: 0.0}

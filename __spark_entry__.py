@@ -395,6 +395,22 @@ def _hits_sql(iters: int) -> str:
     )
 
 
+def _co_project_sql(max_dst_degree: int, min_shared: int) -> str:
+    """Mirrors fog_spark.operators.projection.co_project: src pairs
+    (a < b) sharing dsts, dsts above the degree cap excluded."""
+    return f"""
+WITH e AS MATERIALIZED ({EDGES}),
+d AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+kept AS MATERIALIZED (SELECT dst FROM d GROUP BY dst
+  HAVING COUNT(*) <= {max_dst_degree}),
+ek AS MATERIALIZED (SELECT d.src, d.dst FROM d JOIN kept k ON k.dst = d.dst)
+SELECT l.src AS a, r.src AS b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM ek l JOIN ek r ON r.dst = l.dst AND l.src < r.src
+GROUP BY l.src, r.src
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
 def _neighbor_sample_sql(k: int) -> str:
     """Mirrors fog_spark.operators.sampling.sample_neighbors(hash_fn='md5'):
     k smallest (md5_48(src:dst), dst) per src over distinct neighbors."""
@@ -989,6 +1005,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return modularity_plus1_milli(_edges(spark, sf), _lpa5_state(spark, sf))
 
+    def co_project_capped(spark, sf):
+        from fog_spark.operators.projection import co_project
+
+        # cap 95 excludes the denser two-thirds of the gate graph's hub
+        # dsts, so the cap path itself is exercised, not just the join
+        return co_project(_edges(spark, sf), max_dst_degree=95, min_shared=3)
+
     def egonet2(spark, sf):
         from fog_spark.algos.msbfs import ego_network
 
@@ -1256,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa5_modularity_milli": lpa5_modularity_milli,
         "spcont8": spcont8,
         "egonet2": egonet2,
+        "co_project_capped": co_project_capped,
         "neighbor_sample3": neighbor_sample3,
         "msbfs4": msbfs4,
         "harmonic4_milli": harmonic4_milli,
@@ -1446,6 +1470,7 @@ SELECT scc, COUNT(*) AS size FROM lbl GROUP BY scc""",
         "spcount4": _spcount_sql([0, 1, 2, 3], 16),
         "lpa5_modularity_milli": _lpa_modularity_sql(5),
         "spcont8": _spcont_sql([0, 1, 2, 3], 8),
+        "co_project_capped": _co_project_sql(95, 3),
         "egonet2": _msbfs_sql(
             [0, 1, 2, 3],
             2,

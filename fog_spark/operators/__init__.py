@@ -16,5 +16,6 @@ from fog_spark.operators.text import (  # noqa: F401
     token_count_col,
 )
 from fog_spark.operators.node2vec import node2vec_walks  # noqa: F401
+from fog_spark.operators.projection import co_project  # noqa: F401
 from fog_spark.operators.sampling import sample_neighbors  # noqa: F401
 from fog_spark.operators.walks import random_walks  # noqa: F401

@@ -705,3 +705,20 @@ def betweenness_oracle(edges, seeds, max_rounds=16):
             if v != s:
                 bc[v] += delta[v]
     return bc
+
+
+def co_project_oracle(edges, max_dst_degree=1000, min_shared=1):
+    """{(a, b): shared} — capped bipartite co-projection
+    (operators.projection.co_project)."""
+    by_dst = {}
+    for s, d in set(edges):
+        by_dst.setdefault(d, set()).add(s)
+    pairs = {}
+    for d, srcs in by_dst.items():
+        if len(srcs) > max_dst_degree:
+            continue
+        ss = sorted(srcs)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    return {k: v for k, v in pairs.items() if v >= min_shared}

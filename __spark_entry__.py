@@ -62,6 +62,35 @@ def _pagerank_milli_sql(niters: int, tail: str) -> str:
     return "WITH " + ",\n".join(ctes) + f"\n{tail.replace('$LAST', f'r{niters}')}"
 
 
+def _wpagerank_milli_sql(niters: int) -> str:
+    """Unrolled WeightedPageRankMilli — mirrors
+    fog_spark.algos.pagerank.WeightedPageRankMilli exactly: per-edge
+    contrib = (850 * rank * wm) // (1000 * swm(u)) + 150000, multi-edges
+    counted, integer wm from EDGES_MILLI (no float weight conversion)."""
+    ctes = [
+        f"em AS MATERIALIZED ({EDGES_MILLI})",
+        "v AS MATERIALIZED (SELECT src AS id FROM em UNION SELECT dst FROM em)",
+        "sw AS MATERIALIZED (SELECT src, SUM(wm) AS swm FROM em GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS rank_milli FROM v)",
+    ]
+    for k in range(1, niters + 1):
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT p.id, "
+            f"CAST(p.rank_milli + COALESCE(m.s, 0) AS BIGINT) AS rank_milli "
+            f"FROM r{k-1} p LEFT JOIN ("
+            f"SELECT em.dst AS id, SUM((850 * r.rank_milli * em.wm) "
+            f"// (1000 * s.swm) + 150000) AS s "
+            f"FROM r{k-1} r JOIN sw s ON s.src = r.id "
+            f"JOIN em ON em.src = r.id GROUP BY em.dst"
+            f") m ON m.id = p.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, rank_milli FROM r{niters}"
+    )
+
+
 def _sssp_milli_sql(rounds: int) -> str:
     ctes = [
         f"em AS MATERIALIZED ({EDGES_MILLI})",
@@ -957,6 +986,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return sp_continuations(_edges(spark, sf), [0, 1, 2, 3], max_rounds=8)
 
+    def wpagerank8_milli(spark, sf):
+        from fog_spark.algos.pagerank import WeightedPageRankMilli
+
+        res = _engine(spark).run(WeightedPageRankMilli(niters=8), _edges(spark, sf))
+        return res.state.select("id", "rank_milli")
+
     def hits4_milli(spark, sf):
         from fog_spark.algos.hits import hits_milli
 
@@ -1275,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis12": mis12,
         "ktruss3": ktruss3,
         "hits4_milli": hits4_milli,
+        "wpagerank8_milli": wpagerank8_milli,
         "spcount4": spcount4,
         "lpa5_modularity_milli": lpa5_modularity_milli,
         "spcont8": spcont8,
@@ -1467,6 +1503,7 @@ SELECT scc, COUNT(*) AS size FROM lbl GROUP BY scc""",
         "mis12": _mis_sql(12),
         "ktruss3": _ktruss_sql(3, 4),
         "hits4_milli": _hits_sql(4),
+        "wpagerank8_milli": _wpagerank_milli_sql(8),
         "spcount4": _spcount_sql([0, 1, 2, 3], 16),
         "lpa5_modularity_milli": _lpa_modularity_sql(5),
         "spcont8": _spcont_sql([0, 1, 2, 3], 8),

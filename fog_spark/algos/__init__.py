@@ -1,4 +1,10 @@
-from fog_spark.algos.pagerank import FogPageRank, FogPageRankMilli, PPRMilli, StandardPageRank  # noqa: F401
+from fog_spark.algos.pagerank import (  # noqa: F401
+    FogPageRank,
+    FogPageRankMilli,
+    PPRMilli,
+    StandardPageRank,
+    WeightedPageRankMilli,
+)
 from fog_spark.algos.components import ConnectedComponents  # noqa: F401
 from fog_spark.algos.kcore import k_core  # noqa: F401
 from fog_spark.algos.ktruss import k_truss  # noqa: F401

@@ -275,3 +275,89 @@ class StandardPageRank(Algorithm):
     def converged(self, iteration: int, stats) -> bool:
         md = stats.get("max_delta")
         return md is not None and md < self.tol
+
+
+class WeightedPageRankMilli(Algorithm):
+    """Weight-proportional integer twin of FogPageRankMilli: rank flows
+    along out-edges in proportion to edge weight instead of uniformly —
+
+        contrib(u, e) = (850 * rank(u) * wm_e) div (1000 * swm(u)) + 150_000
+        rank_t(v)     = rank_{t-1}(v) + sum_{e: u->v} contrib(u, e)
+
+    with wm_e = round(weight_e * 1000) (the deterministic weight rule is
+    milli-exact, so round() recovers the integer both engines agree on —
+    a bare cast could land one below after float division artifacts) and
+    swm(u) = sum of wm over u's out-edges. The per-edge floor division
+    is part of the query contract; pure long arithmetic, hash-exact
+    cross-engine. swm is aggregated across ADJACENCY ROWS at init so
+    salted hub splits (multiple rows per src) still see the full
+    denominator — the same reason FogPageRankMilli reads outdeg from the
+    adjacency rather than sizing the dsts array.
+    """
+
+    direction = "out"
+    include_self_loops = True
+    uses_frontier = False
+    needs_stats = False
+    needs_weights = True
+
+    def __init__(self, niters: int = 8):
+        self.name = "weighted_pagerank_milli"
+        self.niters = niters
+        self.default_max_iters = niters
+
+    def init_state(self, vertices: DataFrame, adj: DataFrame) -> DataFrame:
+        bucket = F.aggregate(
+            "weights",
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.round(w * 1000).cast("long"),
+        )
+        swm = (
+            adj.select(F.col("src").alias("id"), bucket.alias("_bw"))
+            .groupBy("id")
+            .agg(F.sum("_bw").alias("swm"))
+        )
+        return vertices.join(swm, "id", "left").select(
+            "id",
+            F.lit(1_000_000).cast("long").alias("rank_milli"),
+            F.coalesce("swm", F.lit(0)).cast("long").alias("swm"),
+            F.lit(True).alias("_active"),
+        )
+
+    def messages(self, active_state: DataFrame, adj: DataFrame) -> DataFrame:
+        return (
+            scatter_join(active_state, adj)
+            .select(
+                "rank_milli",
+                "swm",
+                F.explode(F.arrays_zip("dsts", "weights")).alias("_z"),
+            )
+            .select(
+                F.col("_z.dsts").alias("dst"),
+                F.expr(
+                    "(850 * rank_milli * CAST(round(_z.weights * 1000) AS BIGINT))"
+                    " div (1000 * swm) + 150000"
+                ).alias("contrib"),
+            )
+        )
+
+    def gather(self, msgs: DataFrame) -> DataFrame:
+        return msgs.groupBy("dst").agg(
+            F.sum("contrib").alias("_sum"), F.count("*").alias("_n_msgs")
+        )
+
+    def apply(self, state: DataFrame, gathered: DataFrame) -> DataFrame:
+        return (
+            state.join(gathered, state["id"] == gathered["dst"], "left")
+            .select(
+                state["id"],
+                (F.col("rank_milli") + F.coalesce(F.col("_sum"), F.lit(0))).alias(
+                    "rank_milli"
+                ),
+                F.col("swm"),
+                F.lit(True).alias("_active"),
+            )
+        )
+
+    def converged(self, iteration: int, stats) -> bool:
+        return False

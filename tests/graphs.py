@@ -722,3 +722,20 @@ def co_project_oracle(edges, max_dst_degree=1000, min_shared=1):
             for b in ss[i + 1:]:
                 pairs[(a, b)] = pairs.get((a, b), 0) + 1
     return {k: v for k, v in pairs.items() if v >= min_shared}
+
+
+def weighted_pagerank_milli_oracle(edges_w, niters=8):
+    """{id: rank_milli} — WeightedPageRankMilli: contrib = (850 * rank *
+    wm) // (1000 * swm) + 150000 per edge, multi-edges counted."""
+    verts = sorted({v for s, d, _ in edges_w for v in (s, d)})
+    wm = [(s, d, round(w * 1000)) for s, d, w in edges_w]
+    swm = {}
+    for s, _, m in wm:
+        swm[s] = swm.get(s, 0) + m
+    rank = {v: 1_000_000 for v in verts}
+    for _ in range(niters):
+        add = {v: 0 for v in verts}
+        for s, d, m in wm:
+            add[d] += (850 * rank[s] * m) // (1000 * swm[s]) + 150_000
+        rank = {v: rank[v] + add[v] for v in verts}
+    return rank

@@ -207,3 +207,23 @@ def test_fog_pagerank_on_generated_graph(spark):
     want = GX.fog_pagerank_oracle([(s, d) for s, d, _ in edges_rows(n)], n, iters=5)
     for v in range(n):
         assert abs(got[v] - want[v]) < 1e-6
+
+
+def test_weighted_pagerank_milli_match_oracle(spark):
+    from fog_spark.algos.pagerank import WeightedPageRankMilli
+    from fog_spark.hashing import pmod, xxhash64
+
+    for gname in GX.ALL_GRAPHS:
+        edges, n = GX.ALL_GRAPHS[gname]
+        ew = [
+            (s, d, 1.0 + pmod(xxhash64(int(s), int(d)), 9000) / 1000.0)
+            for s, d in edges
+        ]
+        res = _engine(spark).run(
+            WeightedPageRankMilli(niters=6), make_edges_df(spark, edges)
+        )
+        got = {
+            r["id"]: r["rank_milli"]
+            for r in res.state.select("id", "rank_milli").collect()
+        }
+        assert got == GX.weighted_pagerank_milli_oracle(ew, niters=6), gname

@@ -1221,6 +1221,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             byte_sum.alias("feat_byte_sum"),
         )
 
+    def event_daily_windows(spark, sf):
+        # tumbling 1-day windows per event type — the batch twin of the
+        # streaming ingest's watermarked windowed aggregation; session tz
+        # is pinned UTC so to_date and DuckDB's CAST(ts AS DATE) agree
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+        return ev.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("sum_value_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+
     def user_event_stats(spark, sf):
         from pyspark.sql import Window as W
 
@@ -1338,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ids": cosine_topk_ids,
         "media_features": media_features,
         "user_event_stats": user_event_stats,
+        "event_daily_windows": event_daily_windows,
         "segment_revenue": segment_revenue,
         "nation_revenue": nation_revenue,
     }
@@ -1671,6 +1686,13 @@ WITH m AS (SELECT range AS media_id, 'blob:' || sha256(CAST(range AS VARCHAR)) A
 SELECT media_id, CAST(length(p) AS BIGINT) AS n_bytes,
   CAST(list_sum([ascii(substr(p, i, 1)) for i in range(1, 17)]) AS BIGINT) AS feat_byte_sum
 FROM m""",
+        "event_daily_windows": """
+SELECT CAST(ts AS DATE) AS day, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+""",
         "user_event_stats": """
 WITH top AS (
   SELECT user_id, event_id AS top_event_id FROM (

@@ -42,6 +42,13 @@ ALGOS = (
     "ppr",
     "kcore",
     "stats",
+    "wpagerank-milli",
+    "hits",
+    "mis",
+    "ktruss",
+    "hyperball",
+    "walks",
+    "node2vec",
 )
 
 
@@ -79,6 +86,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ppr-niters", type=int, default=8)
     p.add_argument("--kcore-k", type=int, default=3)
     p.add_argument("--kcore-rounds", type=int, default=16)
+    p.add_argument("--hits-iters", type=int, default=4)
+    p.add_argument("--mis-rounds", type=int, default=12)
+    p.add_argument("--ktruss-k", type=int, default=3)
+    p.add_argument("--ktruss-rounds", type=int, default=8)
+    p.add_argument("--hyperball-m", type=int, default=16)
+    p.add_argument("--hyperball-rounds", type=int, default=8)
+    p.add_argument("--walk-len", type=int, default=8)
+    p.add_argument("--node2vec-p", type=float, default=1.0)
+    p.add_argument("--node2vec-q", type=float, default=1.0)
     return p
 
 
@@ -112,6 +128,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         LabelPropagation,
         PPRMilli,
         StandardPageRank,
+        WeightedPageRankMilli,
         k_core,
         msf,
         scc,
@@ -137,6 +154,34 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         return spmv(e)
     if args.algo == "kcore":
         return k_core(e, k=args.kcore_k, max_rounds=args.kcore_rounds)
+    if args.algo == "hits":
+        from fog_spark.algos.hits import hits_milli
+
+        return hits_milli(e, iters=args.hits_iters)
+    if args.algo == "mis":
+        from fog_spark.algos.mis import maximal_independent_set
+
+        return maximal_independent_set(e, max_rounds=args.mis_rounds)
+    if args.algo == "ktruss":
+        from fog_spark.algos.ktruss import k_truss
+
+        return k_truss(e, k=args.ktruss_k, max_rounds=args.ktruss_rounds)
+    if args.algo == "hyperball":
+        from fog_spark.algos.hyperball import hyperball_sketches
+
+        return hyperball_sketches(
+            e, m=args.hyperball_m, rounds=args.hyperball_rounds
+        )
+    if args.algo == "walks":
+        from fog_spark.operators.walks import random_walks
+
+        return random_walks(e, walk_len=args.walk_len)
+    if args.algo == "node2vec":
+        from fog_spark.operators.node2vec import node2vec_walks
+
+        return node2vec_walks(
+            e, walk_len=args.walk_len, p=args.node2vec_p, q=args.node2vec_q
+        )
 
     algo = {
         "pagerank": lambda: FogPageRank(niters=args.pagerank_niters, damping=args.damping),
@@ -147,6 +192,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         "sssp": lambda: SSSP(source=args.sssp_source),
         "lpa": lambda: LabelPropagation(max_iters=args.lpa_iters),
         "ppr": lambda: PPRMilli(seed=args.ppr_seed, niters=args.ppr_niters),
+        "wpagerank-milli": lambda: WeightedPageRankMilli(niters=args.pagerank_niters),
     }[args.algo]()
     kw = {}
     if args.hub_cap is not None:

@@ -56,3 +56,25 @@ def test_cli_cc_resume_checkpoint(spark, tmp_path):
     present = {v for e in edges for v in e}  # isolated vertex 6 not in edge table
     assert set(got) == present
     assert all(got[v] == want[v] for v in present)
+
+
+def test_cli_new_algos_smoke(spark, tmp_path):
+    edges, n = GX.ALL_GRAPHS["two_triangles"]
+    elist = "\n".join(f"{s} {d}" for s, d in edges) + "\n"
+    src = tmp_path / "g.txt"
+    src.write_text(elist)
+    for algo, check in [
+        ("hits", lambda rows: {"id", "auth_milli", "hub_milli"} <= set(rows[0].asDict())),
+        ("mis", lambda rows: all(r["in_mis"] is not None for r in rows)),
+        ("hyperball", lambda rows: all(r["sum2k"] > 0 for r in rows)),
+        ("node2vec", lambda rows: len(rows) > 0),
+    ]:
+        out = tmp_path / f"{algo}_out"
+        rc = main(
+            ["--algo", algo, "--edges", str(src), "--format", "edgelist",
+             "--output", str(out), "--walk-len", "3"],
+            spark=spark,
+        )
+        assert rc == 0, algo
+        rows = spark.read.parquet(str(out)).collect()
+        assert rows and check(rows), algo

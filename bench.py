@@ -53,6 +53,33 @@ SCALING_ITERS = 6
 SCALING_LEVELS = (2, 8, 32)
 
 
+def read_steal() -> tuple[int, int]:
+    """Hypervisor steal ticks, whole box: (steal, total) from /proc/stat."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:9]]
+    return vals[7], sum(vals)
+
+
+def steal_pct_between(s0: tuple[int, int], s1: tuple[int, int]) -> float:
+    return round(100.0 * (s1[0] - s0[0]) / max(1, s1[1] - s0[1]), 2)
+
+
+def wait_quiet(thresh_pct: float, max_wait_s: float = 240.0, probe_s: float = 5.0) -> None:
+    """Block until a /proc/stat probe window shows steal <= thresh (or the
+    wait budget runs out). Exogenous signal only — never the measured
+    walls themselves."""
+    if thresh_pct >= 100:
+        return  # gate disabled (pinned-config child trials)
+    waited = 0.0
+    while waited < max_wait_s:
+        s0 = read_steal()
+        time.sleep(probe_s)
+        if steal_pct_between(s0, read_steal()) <= thresh_pct:
+            return
+        time.sleep(15)
+        waited += probe_s + 15
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -182,6 +209,58 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         n = random_walks(edges, walk_len=8, hash_fn="xxhash64").count()
         return {"walk_rows": int(n)}
 
+    def q_resume_check():
+        # north-rule resume evidence at bench scale: run the milli
+        # PageRank twin durably checkpointed for 2 iterations (the state
+        # a kill would leave), resume it to 5 in a SECOND engine (reads
+        # only the durable parquet), and diff against an uninterrupted
+        # 5-iteration run — must match bit-for-bit.
+        import shutil
+        import tempfile
+
+        from fog_spark.algos import FogPageRankMilli
+
+        ckpt = tempfile.mkdtemp(prefix="fog_bench_resume_")
+        try:
+            t0 = time.monotonic()
+            full = ScatterGatherEngine(spark, checkpoint_dir=f"{ckpt}/a").run(
+                FogPageRankMilli(niters=5), edges, run_id="full"
+            )
+            t_full = time.monotonic() - t0
+
+            t0 = time.monotonic()
+            ScatterGatherEngine(spark, checkpoint_dir=f"{ckpt}/b").run(
+                FogPageRankMilli(niters=5), edges, run_id="killed", max_iters=2
+            )
+            t_head = time.monotonic() - t0
+            t0 = time.monotonic()
+            resumed = ScatterGatherEngine(spark, checkpoint_dir=f"{ckpt}/b").run(
+                FogPageRankMilli(niters=5), edges, run_id="killed"
+            )
+            t_resume = time.monotonic() - t0
+            # distributed diff (full outer join): never collect 1M rows
+            a = full.state.select("id", F.col("rank_milli").alias("ra"))
+            b = resumed.state.select("id", F.col("rank_milli").alias("rb"))
+            mismatches = (
+                a.join(b, "id", "full_outer")
+                .where(
+                    F.col("ra").isNull()
+                    | F.col("rb").isNull()
+                    | (F.col("ra") != F.col("rb"))
+                )
+                .count()
+            )
+            return {
+                "mismatches": mismatches,
+                "resumed_from_iter": 2,
+                "full_run_sec": round(t_full, 3),
+                "interrupted_run_sec": round(t_head, 3),
+                "resume_run_sec": round(t_resume, 3),
+                "resume_overhead_sec": round(t_head + t_resume - t_full, 3),
+            }
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
     queries = {
         "extract_edges": q_extract_edges,
         "pagerank5": q_pagerank5,
@@ -194,6 +273,7 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         "doc_stats": q_doc_stats,
         "cosine_topk": q_cosine_topk,
         "corpus_prep": q_corpus_prep,
+        "resume_check": q_resume_check,
     }
     return queries, edges, n_edges
 
@@ -215,17 +295,45 @@ def run_bench(
         app_name=f"fog-spark-bench-{cpus}", cores=cpus,
         shuffle_partitions=shuffle_partitions,
     )
+    # Steal gate (same defense as the scaling mode, VERDICT r02): this
+    # sandbox's hypervisor injects bursty multi-10s CPU-steal stalls, so
+    # an unguarded single trial misreports the engine by up to 4x. Every
+    # query publishes the steal fraction of its own window; a query whose
+    # window got stolen above the threshold re-runs (up to `retries`
+    # fresh attempts after a quiet-window wait) and the LOWEST-STEAL
+    # attempt is kept. All gating reads the exogenous /proc/stat signal,
+    # never the measured walls.
+    steal_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_PCT", "2.0"))
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    wait_quiet(steal_thresh)
     t_start = time.monotonic()
+    s_setup = read_steal()
     queries, edges, n_edges = build_queries(spark, sf_dir, n_docs, pr_iters)
+    setup_sec = round(time.monotonic() - t_start, 3)
+    setup_steal = steal_pct_between(s_setup, read_steal())
     timings: dict[str, float] = {}
+    steals: dict[str, float] = {}
     details: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
-        t0 = time.monotonic()
-        details[name] = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
-    total = round(time.monotonic() - t_start, 3)
+        best = None  # (steal_pct, wall, result)
+        for attempt in range(retries + 1):
+            if attempt > 0:
+                wait_quiet(steal_thresh)
+            s0 = read_steal()
+            t0 = time.monotonic()
+            result = fn()
+            wall = round(time.monotonic() - t0, 3)
+            pct = steal_pct_between(s0, read_steal())
+            if best is None or pct < best[0]:
+                best = (pct, wall, result)
+            if pct <= steal_thresh:
+                break
+        steals[name], timings[name], details[name] = best
+    # headline value = setup + kept per-query walls (retry attempts and
+    # quiet-window waits excluded — they are gate cost, not engine cost)
+    total = round(setup_sec + sum(timings.values()), 3)
     pr_eps = steady_eps = None
     if "pagerank5" in timings:
         pr_eps = round(n_edges * pr_iters / timings["pagerank5"])
@@ -242,6 +350,10 @@ def run_bench(
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "steal_pct": steals,
+        "setup_sec": setup_sec,
+        "setup_steal_pct": setup_steal,
+        "steal_thresh_pct": steal_thresh,
         "sf": sf,
         "cpus": cpus,
         "n_docs": n_docs,
@@ -279,18 +391,16 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
     # scaling loss
     parts = ((base + hi_level - 1) // hi_level) * hi_level
 
-    def read_steal():
-        # hypervisor steal ticks, whole box: (steal, total) from /proc/stat
-        with open("/proc/stat") as f:
-            vals = [int(x) for x in f.readline().split()[1:9]]
-        return vals[7], sum(vals)
-
     def one_trial(cpus: int) -> dict:
         env = dict(os.environ)
         # 16g measured best here: bigger heaps (48g/64g) lengthen G1
         # young collections and visibly pollute iteration walls
         env.setdefault("FOG_SPARK_DRIVER_MEM", "16g")
-        s0, t0 = read_steal()
+        # the child is a single pinned-config trial: disable its own
+        # steal gate (the parent gates and retries whole trials)
+        env["SPARK_GRAFT_BENCH_RETRIES"] = "0"
+        env["SPARK_GRAFT_BENCH_STEAL_PCT"] = "100"
+        s0 = read_steal()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
              "--only", "pagerank5", "--sf-dir", sf_dir,
@@ -298,12 +408,11 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
              "--shuffle-partitions", str(parts)],
             capture_output=True, text=True, check=True, cwd=REPO, env=env,
         )
-        s1, t1 = read_steal()
         r = json.loads(out.stdout.strip().splitlines()[-1])
         # attribute environment noise: fraction of box CPU the hypervisor
         # stole during this trial (bursts of 30%+ fully explain the
         # multi-10s wall outliers; near-0% trials are trustworthy)
-        r["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+        r["steal_pct"] = steal_pct_between(s0, read_steal())
         return r
 
     # This sandbox shows bursty hypervisor CPU steal (multi-10s stalls in
@@ -317,17 +426,6 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
     steal_thresh = float(os.environ.get("SPARK_GRAFT_SCALING_STEAL_PCT", "2.0"))
     max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_RETRIES", "2")) + 1
 
-    def wait_quiet(max_wait_s: float = 600.0) -> None:
-        waited = 0.0
-        while waited < max_wait_s:
-            s0, t0 = read_steal()
-            time.sleep(10)
-            s1, t1 = read_steal()
-            if 100.0 * (s1 - s0) / max(1, t1 - t0) <= steal_thresh:
-                return
-            time.sleep(20)
-            waited += 30.0
-
     walls: dict[int, list[int]] = {c: [] for c in levels}
     steals: dict[int, list[float]] = {c: [] for c in levels}
     n_edges = None
@@ -335,7 +433,7 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
         for cpus in levels:
             best = None
             for _attempt in range(max_attempts):
-                wait_quiet()
+                wait_quiet(steal_thresh, max_wait_s=600.0, probe_s=10.0)
                 r = one_trial(cpus)
                 if best is None or r["steal_pct"] < best["steal_pct"]:
                     best = r

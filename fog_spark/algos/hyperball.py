@@ -80,7 +80,13 @@ class HyperBall(Algorithm):
     uses_frontier = True
     needs_stats = True
 
-    def __init__(self, m: int = 16, rounds: int = 8, hash_fn: str = "xxhash64"):
+    def __init__(
+        self,
+        m: int = 16,
+        rounds: int = 8,
+        hash_fn: str = "xxhash64",
+        track_nf: bool = False,
+    ):
         if m < 2 or m & (m - 1):
             raise ValueError("m must be a power of two >= 2")
         if m > 64:
@@ -91,6 +97,33 @@ class HyperBall(Algorithm):
         self.rho_max = 48 - self.b + 1
         self.hash_fn = hash_fn
         self.default_max_iters = rounds
+        # track_nf: ride the neighborhood-function estimate on the
+        # engine's per-iteration stats job (extra_stats) — one run yields
+        # N_est at EVERY radius prefix for free (the engine also primes
+        # extra_stats on the init state, giving radius 0)
+        self.track_nf = track_nf
+        self.nf_history: list[float] = []
+
+    def extra_stats(self):
+        if not self.track_nf:
+            return {}
+        zeros = F.aggregate(
+            "regs",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(x == 0, 1).otherwise(0).cast("long"),
+        )
+        return {
+            "nf_est": F.sum(
+                hll_estimate(
+                    self.m, self.rho_max,
+                    sum2k=hll_sum2k(self.m, self.rho_max), zeros=zeros,
+                )
+            )
+        }
+
+    def set_stats(self, stats) -> None:
+        if self.track_nf and stats.get("nf_est") is not None:
+            self.nf_history.append(float(stats["nf_est"]))
 
     def init_state(self, vertices: DataFrame, adj: DataFrame) -> DataFrame:
         m, rho_max = self.m, self.rho_max
@@ -214,23 +247,30 @@ def hll_estimate(m: int, rho_max: int, sum2k=None, zeros=None):
 
 
 def neighborhood_function(
-    edges: DataFrame, m: int = 16, rounds: int = 8, hash_fn: str = "xxhash64"
+    edges: DataFrame,
+    m: int = 16,
+    rounds: int = 8,
+    hash_fn: str = "xxhash64",
+    engine: ScatterGatherEngine | None = None,
 ) -> list[tuple[int, float]]:
     """[(r, N_est(r))] for r = 0..rounds — the estimated number of
     (u, v) pairs with dist(u -> v) <= r, summed over per-vertex in-ball
-    estimates. Driver-side list: one float per round, not per vertex."""
-    spark = edges.sparkSession
-    out = []
-    # one engine run per radius would re-propagate; instead run once per
-    # prefix is wasteful too — HyperBall naturally yields all radii in
-    # one pass, but the engine returns only the final state, so this
-    # convenience helper re-runs per radius ONLY for tiny r (api sugar;
-    # scale users read hyperball_sketches at their target radius)
+    estimates. Driver-side list: one float per round, not per vertex.
+
+    ONE engine run (HyperBall naturally yields every radius prefix):
+    the per-radius estimate rides the engine's existing per-iteration
+    stats job via extra_stats — no extra jobs, no O(rounds^2) re-runs.
+    If the sketch fixpoint converges before ``rounds``, the remaining
+    radii repeat the converged estimate (the ball stopped growing)."""
+    algo = HyperBall(m=m, rounds=rounds, hash_fn=hash_fn, track_nf=True)
+    eng = engine or ScatterGatherEngine(
+        edges.sparkSession, checkpoint_dir=None, collect_lineage=False
+    )
+    eng.run(algo, edges)
+    out: list[tuple[int, float]] = []
+    last = 0.0
     for r in range(rounds + 1):
-        sk = hyperball_sketches(edges, m=m, rounds=r, hash_fn=hash_fn)
-        algo_rho_max = 48 - (m.bit_length() - 1) + 1
-        est = sk.select(
-            F.sum(hll_estimate(m, algo_rho_max)).alias("nf")
-        ).collect()[0]["nf"]
-        out.append((r, float(est)))
+        if r < len(algo.nf_history):
+            last = algo.nf_history[r]
+        out.append((r, last))
     return out

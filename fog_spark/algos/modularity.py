@@ -69,7 +69,11 @@ def modularity_plus1_milli(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """One row ``(q_plus1_milli, m_edges)`` — floor(1000 * (Q + 1)) and
     the canonical edge count, both exact BIGINTs."""
     und = _canonical_undirected(edges)
-    mm = und.agg(F.count("*").alias("_m"))
+    # m = 0 guard: a graph whose simple undirected projection is empty
+    # (self-loops only, or no edges) has no defined modularity — return
+    # an empty frame instead of an ANSI division-by-zero error. The
+    # filter keeps the plan lazy (no driver-side count job).
+    mm = und.agg(F.count("*").alias("_m")).where(F.col("_m") > 0)
     terms = modularity_terms(edges, labels)
     # Q_num needs m inside the per-label term; bring it in via broadcast
     per_label = terms.crossJoin(F.broadcast(mm)).select(

@@ -53,11 +53,14 @@ def canonical_undirected(edges: DataFrame) -> DataFrame:
 
 
 # Below this many picked edges the contraction graph is collected and
-# union-found on the driver in one job. 2M rows is ~32 MB — trivially
-# broadcastable; at 10^12-vertex scale the first Borůvka rounds stay on
-# the distributed path and later rounds (components shrink at least
-# geometrically) flip to the driver path automatically.
-DRIVER_CONTRACT_CAP = 2_000_000
+# union-found on the driver in one job. Collected via Arrow (two int64
+# columns — 16 B/pair + pyarrow buffer overhead, ~4 MB at the cap; a
+# Row-object collect costs ~10x that in Python object headers, which is
+# why the old 2M-row cap was memory-naive). At 10^12-vertex scale
+# the first Borůvka rounds stay on the distributed path and later rounds
+# (components shrink at least geometrically) flip to the driver path
+# automatically.
+DRIVER_CONTRACT_CAP = 250_000
 
 
 def _union_find_min(pairs) -> dict[int, int]:
@@ -110,8 +113,11 @@ def _contract(
     n_pairs = picked.count()
     spark = comp.sparkSession
     if n_pairs <= driver_cap:
-        rows = picked.select("ca", "cb").collect()
-        mapping = _union_find_min((int(r["ca"]), int(r["cb"])) for r in rows)
+        # Arrow transfer: two long columns, no per-row Python Row objects
+        tbl = picked.select("ca", "cb").toArrow()
+        mapping = _union_find_min(
+            zip(tbl.column("ca").to_pylist(), tbl.column("cb").to_pylist())
+        )
         lbl_df = spark.createDataFrame(
             [(c, l) for c, l in mapping.items()], "c long, lbl long"
         )

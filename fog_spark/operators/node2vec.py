@@ -77,6 +77,19 @@ def _ratios(p, q) -> tuple[tuple[int, int], tuple[int, int], tuple[int, int]]:
     out = []
     for alpha in (1 / P, Fraction(1), 1 / Q):
         r = alpha / amax
+        # limit_denominator bounds P's and Q's denominators, NOT the
+        # reduced ratio's: e.g. p = 10^12, q = 1 gives ret = 1/10^12,
+        # whose u32 * den product overflows int64 under ANSI mode. The
+        # acceptance comparison computes u32 * den and num * 2^32
+        # (u32 < 2^32), so den and num must stay <= 10^6 (< 2^20) for
+        # both products to stay under 2^52.
+        if r.numerator > 1_000_000 or r.denominator > 1_000_000:
+            raise ValueError(
+                f"p={p}, q={q} reduce to acceptance ratio "
+                f"{r.numerator}/{r.denominator}; numerator and denominator "
+                "must each be <= 10^6 for exact int64 arithmetic — pick "
+                "p, q in [10^-3, 10^3] with denominator <= 1000"
+            )
         out.append((r.numerator, r.denominator))
     return tuple(out)
 

@@ -217,6 +217,7 @@ def embedding_near_dups_exact(
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95, nplanes: int = 8, ntables: int = 6,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    bucket_cap: int = 2000, chain_window: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine — the scale path:
     candidates from ``ntables`` hyperplane-LSH band buckets (self-join on
@@ -224,7 +225,26 @@ def embedding_near_dups(
     probability (1 - arccos(c)/pi)^nplanes, so near-dups almost surely
     share a bucket somewhere), exact cosine verification inside. No
     all-pairs stage; the bucket self-join is the candidate bound, same
-    shape as MinHash-LSH dedup."""
+    shape as MinHash-LSH dedup.
+
+    Degenerate-bucket guard (the analog of the shingle-df cap,
+    dedup.py: a crawl with millions of byte-identical embeddings puts
+    them ALL in the same bucket of EVERY table, and the plain self-join
+    goes O(N^2)): buckets larger than ``bucket_cap`` switch from
+    all-pairs to a deterministic id-ordered CHAIN — each row pairs with
+    its next ``chain_window`` neighbors by rank within the bucket (an
+    equi-join on (t, b, rank), never a bucket-wide cross product), so an
+    N-row bucket costs O(N * chain_window) candidates while duplicate
+    clusters stay transitively connected for the downstream
+    connected-components/keep-min consumer. Trade-off (documented, not
+    silent): inside an oversized bucket, a pair more than chain_window
+    ranks apart is only found transitively — exact pairwise recall drops
+    for mixed oversized buckets, component-level recall survives.
+    Buckets at or below the cap are exact all-pairs, so small-scale
+    results are unchanged (pytest pins equality with the exact twin).
+    The chain's per-bucket rank is a window sort — one task per
+    oversized bucket, O(N log N) and spillable (vs the O(N^2) join it
+    replaces); the chain join itself is an equi-join AQE can skew-split."""
     sigs = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -238,11 +258,37 @@ def embedding_near_dups(
             ])
         ).alias("bk"),
     ).select("id", "v", "bk.t", "bk.b")
-    a = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "t", "b")
-    b = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "b")
+    sizes = sigs.groupBy("t", "b").agg(F.count("*").alias("_bsz"))
+    sized = sigs.join(sizes, ["t", "b"])
+
+    small = sized.where(F.col("_bsz") <= bucket_cap)
+    a = small.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "t", "b")
+    b = small.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "b")
+    cand_small = a.join(b, ["t", "b"]).where(F.col("id_a") < F.col("id_b"))
+
+    from pyspark.sql import Window
+
+    big = sized.where(F.col("_bsz") > bucket_cap)
+    w = Window.partitionBy("t", "b").orderBy("id")
+    bigr = big.select("t", "b", "id", "v", F.row_number().over(w).alias("_rk"))
+    probes = bigr.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        "t",
+        "b",
+        F.explode(
+            F.sequence(F.col("_rk") + 1, F.col("_rk") + chain_window)
+        ).alias("_rk"),
+    )
+    targets = bigr.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "b", "_rk"
+    )
+    # rank order == id order within the bucket, so id_a < id_b holds
+    cand_big = probes.join(targets, ["t", "b", "_rk"])
+
     cand = (
-        a.join(b, ["t", "b"])
-        .where(F.col("id_a") < F.col("id_b"))
+        cand_small.select("id_a", "id_b", "va", "vb")
+        .unionByName(cand_big.select("id_a", "id_b", "va", "vb"))
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = cand.select(

@@ -60,3 +60,34 @@ def test_hyperball_deterministic_across_partitioning(spark):
         map(tuple, hyperball_sketches(df.repartition(5), m=16, rounds=4).collect())
     )
     assert a == b
+
+
+def test_neighborhood_function_single_run(spark):
+    # 40-vertex directed cycle: |ball(v, r)| = r + 1 exactly, so
+    # N_est(r) ~ 40 * (r + 1). One engine run must yield every radius
+    # (rounds+1 points, radius 0 included) — the former per-prefix
+    # re-run was O(rounds^2) total merge rounds (ADVICE r02).
+    from fog_spark.algos.hyperball import neighborhood_function
+
+    edges = [(i, (i + 1) % 40) for i in range(40)]
+    nf = neighborhood_function(
+        make_edges_df(spark, edges), m=64, rounds=4, hash_fn="md5"
+    )
+    assert [r for r, _ in nf] == [0, 1, 2, 3, 4]
+    for r, est in nf:
+        exact = 40 * (r + 1)
+        assert abs(est - exact) / exact < 0.15, (r, est, exact)
+    # monotone: balls only grow
+    vals = [est for _, est in nf]
+    assert all(b >= a * 0.999 for a, b in zip(vals, vals[1:]))
+    # per-radius values match independent bounded-round runs bit-for-bit
+    # modulo float sum order (the sketches themselves are exact integers)
+    from pyspark.sql import functions as F
+    from fog_spark.algos.hyperball import hll_estimate, hyperball_sketches
+
+    for r in (0, 2):
+        sk = hyperball_sketches(
+            make_edges_df(spark, edges), m=64, rounds=r, hash_fn="md5"
+        )
+        want = sk.select(F.sum(hll_estimate(64, 48 - 6 + 1)).alias("e")).collect()[0]["e"]
+        assert abs(nf[r][1] - want) < 1e-6 * abs(want), r

@@ -52,3 +52,11 @@ def test_ego_network_match_oracle(spark, gname):
         for r in ego_network(make_edges_df(spark, edges), seeds, k=2).collect()
     }
     assert got == GX.ego_network_oracle(edges, seeds, k=2), gname
+
+def test_modularity_empty_simple_graph(spark):
+    # self-loops only: the canonical simple projection is empty (m = 0),
+    # modularity is undefined — must return an empty frame, not an ANSI
+    # division-by-zero error (ADVICE r02)
+    edges = [(0, 0), (1, 1)]
+    labs = spark.createDataFrame([(0, 0), (1, 1)], "id long, label long")
+    assert modularity_plus1_milli(make_edges_df(spark, edges), labs).collect() == []

@@ -91,3 +91,16 @@ def test_node2vec_walks_per_vertex(spark):
         )
         for s in starts
     )
+
+
+def test_ratios_reject_int64_overflow():
+    # limit_denominator bounds P and Q, not the reduced ratio: p = 10^9,
+    # q = 1 gives ret = 1/10^9 whose u32 * den product would overflow
+    # int64 under ANSI mode — must raise, not silently corrupt (ADVICE r02)
+    with pytest.raises(ValueError, match="10\\^6"):
+        _ratios(10**9, 1)
+    with pytest.raises(ValueError, match="10\\^6"):
+        _ratios(1, 10**9)
+    # boundary: 10^3 stays exact and accepted
+    ret, nb, far = _ratios(1000, 1)
+    assert ret == (1, 1000)

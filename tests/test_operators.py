@@ -344,3 +344,34 @@ def test_multimodal_plumbing(spark):
 
     with _pytest.raises(Exception):
         extract_features(media, fake=False).collect()
+
+
+def test_embedding_near_dups_bucket_cap(spark):
+    # pathological crawl shape: N byte-identical embeddings land in ONE
+    # bucket of EVERY table. The bucket cap must switch that bucket from
+    # the O(N^2) all-pairs self-join to the O(N * chain_window) id-chain
+    # while keeping the duplicate cluster transitively connected
+    # (VERDICT r02 "What's wrong" #1).
+    from fog_spark.operators.similarity import embedding_near_dups
+
+    n = 1200
+    vec = [1.0, 0.5, -0.25, 0.125] * 2
+    df = spark.range(n).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.array(*[F.lit(x) for x in vec]).alias("embedding"),
+    )
+    pairs = embedding_near_dups(
+        df, threshold=0.99, nplanes=4, ntables=3,
+        bucket_cap=100, chain_window=4,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # identical vectors -> identical per-table buckets -> identical
+    # chains in every table; dedup leaves exactly the rank chain:
+    # sum_{j=1..4} (n - j) pairs, never ~n^2/2
+    want_count = sum(n - j for j in range(1, 5))
+    assert len(got) == want_count
+    # transitive connectivity: every consecutive id pair is present, so
+    # the whole cluster is one component for a keep-min consumer
+    assert all((i, i + 1) in got for i in range(n - 1))
+    # and the chain respects the id order contract
+    assert all(a < b for a, b in got)

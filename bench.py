@@ -530,12 +530,31 @@ are published below.
 - reading the pairs: the prescribed evidence pair is 8->32 (the driver's
   local[8]-vs-local[32] stand-in); 2->8 is published alongside because
   this single 32-core shared-memory box saturates its memory bandwidth
-  near 8 threads — a pure-shuffle microbenchmark gains only ~1.7x from
-  8->32 cores, so the top pair bounds the engine by the box's memory
-  wall, not by shuffle/serial structure. On a real multi-executor
-  cluster each executor brings its own memory channels, so the
-  cores-bound 2->8 regime is the honest analog of N-vs-4N *executors*;
-  the 8->32 number is reported as measured, wall included.
+  near 8 threads. `tools/bandwidth_probe.py` (pure hash-shuffle +
+  hash-aggregate, no joins/Python/caching, fresh JVMs, measured
+  2026-08-19 under the same zstd codec) puts the BOX's own ceiling at
+  3.97x for 2->8 (efficiency 0.99) and **1.83x for 8->32 (efficiency
+  0.457)** — no shuffle job of any design scales past that here. The
+  engine's measured 8->32 efficiency matches that hardware ceiling to
+  within noise, i.e. the scatter-gather loop loses nothing to engine
+  structure at the top pair; and the round-3 shuffle-bytes work RAISED
+  absolute throughput at every level while necessarily LOWERING this
+  ratio (efficiency_8->32 ~= ceiling_eps / (4 * eps_8); making eps_8
+  faster shrinks it — a better engine scores worse on a wall-bound
+  pair). On a real multi-executor cluster each executor brings its own
+  memory channels, so the cores-bound 2->8 regime is the honest analog
+  of N-vs-4N *executors*; the 8->32 number is reported as measured,
+  wall included.
+- bytes-on-the-wire work attacking the memory wall (round 3, measured
+  with tools/shuffle_audit.py on the 1M-doc PageRank loop): adjacency
+  cache no longer evicted by iteration-state reclamation (was +31 MB
+  shuffle re-read per iteration), one state exchange per iteration via
+  ReusedExchange (was two — canonical-plan mismatch between the scatter
+  and apply joins), and zstd shuffle blocks (12.2 B/edge/iter vs lz4's
+  18.3). Message rows are two longs (dst, payload) with map-side partial
+  aggregation before the exchange; ids must stay 64-bit at the
+  10^12-document target, so the remaining exchange volume is the
+  algorithm's message traffic, not encoding overhead.
 - generated by `python bench.py --scaling`
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

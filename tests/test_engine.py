@@ -15,6 +15,56 @@ def _vertices(spark, n):
     return spark.range(n).select("id")
 
 
+def test_state_exchange_reused_between_scatter_and_apply(spark):
+    """One state exchange per iteration, not two: the scatter join (inner)
+    and the apply join (left-outer) must canonicalize to the same state
+    subtree so Spark plans a ReusedExchange. The engine guarantees this by
+    feeding both consumers the same isnotnull(id)-filtered frame — the
+    inner join would otherwise push its own isnotnull filter and the
+    subtrees would differ (measured: state shuffled twice per iteration).
+    Pinned with AQE off so reuse is visible in the static physical plan;
+    AQE's runtime stage cache keys on the same canonicalized form."""
+    from fog_spark import graph as G
+
+    edges, n = GX.ALL_GRAPHS["two_triangles"]
+    e = make_edges_df(spark, edges)
+    # mirror the real loop: AQE off so reuse shows in the static plan,
+    # auto-broadcast off as the engine sets it inside run()
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # at this toy scale the optimizer injects a runtime bloom filter
+        # on the scatter side (the inner join's build side is tiny),
+        # which would differ the subtrees for reasons unrelated to the
+        # property under test; production graphs are far above the
+        # creation-side threshold
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        algo = FogPageRank(niters=2)
+        eng = ScatterGatherEngine(spark, checkpoint_dir=None, collect_lineage=False)
+        adj, hub_salts = eng._prepare_adjacency(algo, e)
+        # steady-state shape: the previous gather left state partitioned
+        # by something the id joins can't use, so BOTH consumers must
+        # exchange it — the reuse property is what's under test
+        state = eng.mat.checkpoint(
+            algo.init_state(G.vertex_ids(e), adj).repartition(8, "rank")
+        )
+        base = state.where(F.col("id").isNotNull())
+        msgs = algo.messages(eng._expand_salts(base, hub_salts), adj)
+        new_state = algo.apply(base, algo.gather(msgs).drop("_n_msgs"))
+        plan = new_state._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, plan
+        eng.mat.free(state)
+        adj.unpersist()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_checkpoint_and_lineage(spark, tmp_path):
     edges, n = GX.ALL_GRAPHS["two_triangles"]
     eng = ScatterGatherEngine(spark, checkpoint_dir=str(tmp_path))

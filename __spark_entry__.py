@@ -900,9 +900,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _cc_state(spark, sf)
 
     def component_sizes_q(spark, sf):
+        # deliberately computed over the OTHER CC implementation — the
+        # O(log n)-round star contraction (cc_star.py, Kiveris et al.),
+        # not the hash-min engine the `connected_components` entry runs.
+        # The two must produce the identical min-id labeling, so this
+        # slot's unchanged SQL oracle now gate-checks both code paths.
+        from fog_spark.algos.cc_star import star_contraction_components
         from fog_spark.algos.components import component_sizes
 
-        return component_sizes(_cc_state(spark, sf))
+        labels = star_contraction_components(spark, _edges(spark, sf))
+        return component_sizes(labels)
 
     def bfs_levels(spark, sf):
         # max_iters=100 pins the iteration bound to the oracle's

@@ -149,6 +149,16 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         n = res.state.agg(F.countDistinct("component")).collect()[0][0]
         return {"iters": res.iterations, "components": int(n)}
 
+    def q_cc_star():
+        # same labeling as q_cc via O(log n)-round star contraction —
+        # benchmarked side by side so the diameter-vs-contraction trade
+        # is measured, not argued
+        from fog_spark.algos.cc_star import star_contraction_components
+
+        labels = star_contraction_components(spark, edges)
+        n = labels.agg(F.countDistinct("component")).collect()[0][0]
+        return {"components": int(n)}
+
     def q_lpa4():
         res = engine().run(LabelPropagation(max_iters=4), edges)
         n = res.state.agg(F.countDistinct("label")).collect()[0][0]
@@ -266,6 +276,7 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         "pagerank5": q_pagerank5,
         "pagerank_conv": q_pagerank_conv,
         "cc": q_cc,
+        "cc_star": q_cc_star,
         "lpa4": q_lpa4,
         "triangles": q_triangles,
         "walks8": q_walks8,

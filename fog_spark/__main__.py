@@ -32,6 +32,7 @@ ALGOS = (
     "pagerank-milli",
     "standard-pagerank",
     "cc",
+    "cc-star",
     "bfs",
     "sssp",
     "lpa",
@@ -154,6 +155,10 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         return spmv(e)
     if args.algo == "kcore":
         return k_core(e, k=args.kcore_k, max_rounds=args.kcore_rounds)
+    if args.algo == "cc-star":
+        from fog_spark.algos.cc_star import star_contraction_components
+
+        return star_contraction_components(spark, e)
     if args.algo == "hits":
         from fog_spark.algos.hits import hits_milli
 

@@ -65,6 +65,7 @@ def test_cli_new_algos_smoke(spark, tmp_path):
     src.write_text(elist)
     for algo, check in [
         ("hits", lambda rows: {"id", "auth_milli", "hub_milli"} <= set(rows[0].asDict())),
+        ("cc-star", lambda rows: {r["component"] for r in rows} == {0, 3}),
         ("mis", lambda rows: all(r["in_mis"] is not None for r in rows)),
         ("hyperball", lambda rows: all(r["sum2k"] > 0 for r in rows)),
         ("node2vec", lambda rows: len(rows) > 0),

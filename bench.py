@@ -168,6 +168,20 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         n = triangles(edges).count()
         return {"triangles": int(n)}
 
+    def q_host_pagerank():
+        # end-to-end webtext pipeline: pages html -> outlink extraction
+        # -> host rollup (~n_docs/100 hosts) -> weighted PageRank
+        from fog_spark.operators.hostgraph import host_pagerank_milli
+
+        pages = generate_pages(spark, n_docs)
+        top = (
+            host_pagerank_milli(spark, pages, niters=4)
+            .orderBy(F.col("rank_milli").desc(), "host")
+            .limit(3)
+            .collect()
+        )
+        return {"top_host": top[0]["host"], "top_rank_milli": int(top[0]["rank_milli"])}
+
     def q_dedup_minhash():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         n = minhash_lsh_candidates(docs, num_hashes=16, bands=4).count()
@@ -280,6 +294,7 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         "lpa4": q_lpa4,
         "triangles": q_triangles,
         "walks8": q_walks8,
+        "host_pagerank": q_host_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "doc_stats": q_doc_stats,
         "cosine_topk": q_cosine_topk,

@@ -1,0 +1,94 @@
+"""Host-level (domain) graph rollup over Common-Crawl-style pages.
+
+The page-level link graph is the engine's native input (BASELINE.json
+input_hint); the standard first analysis over a crawl is the HOST graph:
+collapse every page to its URL host and aggregate link counts between
+hosts. Hosts are ~4 orders of magnitude fewer than pages (10^8 vs 10^12
+at crawl scale), so the rollup is the gateway from the trillion-row edge
+table to interactively-sized graph analytics — host PageRank is the
+classic crawl-prioritization signal.
+
+Scale shape: one explode over outlinks + one (src_host, dst_host) hash
+aggregation — map-side combine collapses the (page x page) multigraph to
+host pairs before the exchange, so the shuffle carries at most
+(distinct host pairs per partition), not one row per link. Dense host
+ids come from assign_dense_ids (range-partition + local rank + driver
+prefix-sum over P counts — no global window). All JVM-side Column
+expressions; the only joins are against the host dimension, which is
+tiny relative to the edge table and broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fog_spark.functions.extract import assign_dense_ids, extract_outlinks_col
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host of an absolute URL, as a pure Column expression
+    (regexp, not parse_url, so the same pattern ports to the ANSI-SQL
+    oracles and to engines without Hive UDFs). Empty string for
+    non-absolute inputs."""
+    return F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+
+
+def host_link_counts(pages: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links) — the aggregated host multigraph,
+    straight off the pages table. Self-host links (site-internal
+    navigation) are kept; callers filter if they want the cross-host
+    graph only."""
+    linked = pages.select(
+        host_of(F.col("url")).alias("src_host"),
+        F.explode(extract_outlinks_col(F.col("html"))).alias("dst_url"),
+    )
+    return (
+        linked.select("src_host", host_of(F.col("dst_url")).alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def host_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(host_dim, edges): dense-id host dimension ``(host, id)`` and a
+    weighted edge table ``(src, dst, weight=n_links)`` ready for any
+    fog_spark algorithm (engine, cc_star, walks, ...)."""
+    counts = host_link_counts(pages)
+    hosts = (
+        counts.select(F.col("src_host").alias("host"))
+        .union(counts.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    dim = assign_dense_ids(hosts, col="host")
+    edges = (
+        counts.join(
+            F.broadcast(dim.select(F.col("host").alias("src_host"), F.col("id").alias("src"))),
+            "src_host",
+        )
+        .join(
+            F.broadcast(dim.select(F.col("host").alias("dst_host"), F.col("id").alias("dst"))),
+            "dst_host",
+        )
+        .select("src", "dst", F.col("n_links").cast("double").alias("weight"))
+    )
+    return dim, edges
+
+
+def host_pagerank_milli(spark, pages: DataFrame, niters: int = 8) -> DataFrame:
+    """(host, rank_milli): weight-proportional PageRank over the host
+    graph — rank mass flows in proportion to inter-host link counts (the
+    crawl-prioritization signal). Integer-milli arithmetic, so results
+    are bit-stable across partitionings."""
+    from fog_spark.algos import WeightedPageRankMilli
+    from fog_spark.plans.engine import ScatterGatherEngine
+
+    dim, edges = host_graph(pages)
+    eng = ScatterGatherEngine(spark, checkpoint_dir=None, collect_lineage=False)
+    res = eng.run(WeightedPageRankMilli(niters=niters), edges)
+    return (
+        res.state.join(F.broadcast(dim), res.state["id"] == dim["id"])
+        .select("host", "rank_milli")
+    )

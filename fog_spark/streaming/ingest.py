@@ -49,3 +49,33 @@ def streaming_degrees(edges: DataFrame, watermark: str = "10 minutes") -> DataFr
         .groupBy("src")
         .agg(F.count("*").alias("outdeg"))
     )
+
+
+def streaming_host_link_counts(
+    spark: SparkSession,
+    pages_dir: str,
+    schema=None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Continuously-maintained (src_host, dst_host, n_links) rollup over
+    the incoming page stream — the streaming twin of
+    operators/hostgraph.host_link_counts, same host_of expression, so a
+    batch host graph built later from the accumulated edge table agrees
+    with the streaming totals. Monotone count aggregate: safe under
+    update-mode output with late data inside the watermark."""
+    from fog_spark.operators.hostgraph import host_of
+
+    if schema is None:
+        schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    pages = spark.readStream.schema(schema).parquet(pages_dir)
+    linked = pages.select(
+        F.col("warc_ts"),
+        host_of(F.col("url")).alias("src_host"),
+        F.explode(extract_outlinks_col(F.col("html"))).alias("dst_url"),
+    )
+    return (
+        linked.withWatermark("warc_ts", watermark)
+        .select("warc_ts", "src_host", host_of(F.col("dst_url")).alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )

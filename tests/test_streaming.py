@@ -87,3 +87,34 @@ def test_streaming_degrees_watermark(spark, tmp_path):
     for r in generate_edges(spark, N_DOCS).collect():
         want[r["src"]] = want.get(r["src"], 0) + 1
     assert got == want
+
+
+def test_streaming_host_link_counts_match_batch(spark, tmp_path):
+    """The streaming host rollup must agree exactly with the batch
+    operator over the same pages (same host_of expression both sides)."""
+    from fog_spark.operators.hostgraph import host_link_counts
+    from fog_spark.streaming.ingest import streaming_host_link_counts
+
+    pages_dir = str(tmp_path / "pages_hosts")
+    pages = generate_pages(spark, N_DOCS).cache()
+    pages.write.mode("append").parquet(pages_dir)
+
+    q = (
+        streaming_host_link_counts(spark, pages_dir)
+        .writeStream.format("memory")
+        .queryName("host_counts_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in spark.sql("SELECT * FROM host_counts_test").collect()
+    }
+    want = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_link_counts(pages).collect()
+    }
+    assert got == want
+    pages.unpersist()

@@ -1115,8 +1115,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def doc_stats(spark, sf):
-        q = quality_features(_docs(spark, sf))
-        return q.select(
+        # quality + Gopher-style repetition signals in one slot: the
+        # repetition block (operators/text.py:repetition_features) is
+        # per-row O(n log n) Column math, so it rides the same scan
+        from fog_spark.operators.text import repetition_features
+
+        d = _docs(spark, sf)
+        q = quality_features(d).select(
             "id",
             F.col("n_chars").cast("long").alias("n_chars"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -1126,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stopword_ratio",
             "quality_score",
         )
+        return q.join(repetition_features(d), "id")
 
     def lang_id_q(spark, sf):
         return lang_id(_docs(spark, sf))
@@ -1419,18 +1425,32 @@ b AS (SELECT doc_id,
   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
   len(list_filter(toks, x -> list_contains({stop['en']}, x))) AS stop_hits
 FROM t),
+rep0 AS (SELECT doc_id, toks,
+  [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))] AS bigrams,
+  [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] AS trigrams,
+  list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines
+FROM t),
+rep AS (SELECT doc_id,
+  CASE WHEN len(toks) > 0 THEN 1.0 - len(list_distinct(toks)) / len(toks) ELSE 0.0 END AS dup_token_ratio,
+  CASE WHEN len(bigrams) > 0
+    THEN list_max(map_values(list_aggregate(bigrams, 'histogram'))) / len(bigrams) ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN len(trigrams) > 0
+    THEN list_max(map_values(list_aggregate(trigrams, 'histogram'))) / len(trigrams) ELSE 0.0 END AS top_trigram_frac,
+  CASE WHEN len(lines) > 0 THEN 1.0 - len(list_distinct(lines)) / len(lines) ELSE 0.0 END AS dup_line_ratio
+FROM rep0),
 r AS (SELECT doc_id, n_chars, n_tokens,
   CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS mean_token_len,
   CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
   CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
   CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END AS stopword_ratio
 FROM b)
-SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+SELECT r.doc_id AS id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
   mean_token_len, alpha_ratio, punct_ratio, stopword_ratio,
   LEAST(n_tokens / 100.0, 1.0) * 0.4 + alpha_ratio * 0.3
     + LEAST(stopword_ratio * 5.0, 1.0) * 0.2
-    + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.1 AS quality_score
-FROM r"""
+    + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.1 AS quality_score,
+  rep.dup_token_ratio, rep.top_bigram_frac, rep.top_trigram_frac, rep.dup_line_ratio
+FROM r JOIN rep ON r.doc_id = rep.doc_id"""
 
     return {
         "text_scans": (

@@ -122,3 +122,81 @@ def doc_fingerprint_portable(docs: DataFrame, text_col: str = "text", id_col: st
     )).otherwise(F.array().cast("array<bigint>"))
     fp = F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
     return docs.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+
+
+def _max_equal_run(sorted_arr: Column) -> Column:
+    """Longest run of equal consecutive elements in a SORTED array —
+    i.e. the max multiplicity of any element. One O(n) fold after an
+    O(n log n) per-row sort: the scale-honest way to get per-document
+    top-n-gram counts (an explode + groupBy per document would shuffle
+    the whole corpus; a transform/filter nest would be O(n^2) per row)."""
+    step = lambda a, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(a["prev"] == x, a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            a["best"],
+            F.when(a["prev"] == x, a["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, step)["best"]
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as joined strings; empty when fewer than n tokens."""
+    k = F.size(toks)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals, one row per document:
+
+    - dup_token_ratio:   1 - distinct_tokens / n_tokens
+    - top_bigram_frac:   occurrences of the most frequent word 2-gram /
+                         total 2-grams
+    - top_trigram_frac:  same for 3-grams
+    - dup_line_ratio:    1 - distinct_lines / n_lines (newline-split)
+
+    Boilerplate, keyword-stuffed, and template-generated crawl pages
+    score high on these; training-corpus prep filters on them (Gopher,
+    Rae et al. 2021, table A1). All pure Column expressions — per-row
+    O(n log n), no shuffles, no UDFs."""
+    t = F.col(text_col)
+    toks = tokenize_col(t)
+    n_tok = F.size(toks)
+    dup_tok = F.when(
+        n_tok > 0, 1.0 - F.size(F.array_distinct(toks)) / n_tok
+    ).otherwise(F.lit(0.0))
+
+    def top_frac(grams: Column) -> Column:
+        total = F.size(grams)
+        return F.when(
+            total > 0, _max_equal_run(F.array_sort(grams)) / total
+        ).otherwise(F.lit(0.0))
+
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0, 1.0 - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        dup_tok.alias("dup_token_ratio"),
+        top_frac(_ngrams(toks, 2)).alias("top_bigram_frac"),
+        top_frac(_ngrams(toks, 3)).alias("top_trigram_frac"),
+        dup_line.alias("dup_line_ratio"),
+    )

@@ -375,3 +375,53 @@ def test_embedding_near_dups_bucket_cap(spark):
     assert all((i, i + 1) in got for i in range(n - 1))
     # and the chain respects the id order contract
     assert all(a < b for a, b in got)
+
+
+def test_repetition_features_oracle(spark):
+    """Gopher-style repetition signals vs a direct Python oracle on
+    hand-built pathological and clean docs."""
+    from fog_spark.operators.text import repetition_features
+
+    texts = {
+        1: "buy cheap pills buy cheap pills buy cheap pills now",
+        2: "the quick brown fox jumps over the lazy dog",
+        3: "a a a a a a",
+        4: "one two",
+        5: "x",
+        6: "",
+        7: "line\nline\nother line\nline",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (
+            r["dup_token_ratio"],
+            r["top_bigram_frac"],
+            r["top_trigram_frac"],
+            r["dup_line_ratio"],
+        )
+        for r in repetition_features(docs).collect()
+    }
+
+    def oracle(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        n = len(toks)
+        dup_tok = 1.0 - len(set(toks)) / n if n else 0.0
+
+        def top(k):
+            grams = [" ".join(toks[i : i + k]) for i in range(n - k + 1)] if n >= k else []
+            return max(Counter(grams).values()) / len(grams) if grams else 0.0
+
+        lines = [ln for ln in text.split("\n") if ln]
+        dup_line = 1.0 - len(set(lines)) / len(lines) if lines else 0.0
+        return (dup_tok, top(2), top(3), dup_line)
+
+    want = {k: oracle(v) for k, v in texts.items()}
+    assert got.keys() == want.keys()
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            assert math.isclose(g, w, rel_tol=0, abs_tol=1e-12), (k, got[k], want[k])
+    # the spam doc must dominate every signal the clean doc is low on
+    assert got[1][1] > 0.3 and got[2][1] < 0.15
+    assert got[3][0] > 0.8 and got[2][0] < 0.2

@@ -50,6 +50,7 @@ ALGOS = (
     "hyperball",
     "walks",
     "node2vec",
+    "host-pagerank",
 )
 
 
@@ -137,6 +138,16 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         triangles,
     )
     from fog_spark.plans.engine import ScatterGatherEngine
+
+    if args.algo == "host-pagerank":
+        # full webtext pipeline: pages html -> outlinks -> host rollup ->
+        # weighted host PageRank; wants the raw pages table, not edges
+        from fog_spark.operators.hostgraph import host_pagerank_milli
+
+        if args.format != "pages":
+            raise SystemExit("--algo host-pagerank requires --format pages")
+        pages = spark.read.parquet(args.edges)
+        return host_pagerank_milli(spark, pages, niters=args.pagerank_niters)
 
     e = load_edges(spark, args)
 

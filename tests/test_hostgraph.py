@@ -82,3 +82,24 @@ def test_host_pagerank_composes(spark):
     # deterministic: a second run is bit-identical
     again = {r["host"]: r["rank_milli"] for r in host_pagerank_milli(spark, pages, niters=4).collect()}
     assert ranks == again
+
+
+def test_cli_host_pagerank(spark, tmp_path):
+    from fog_spark.__main__ import main
+
+    pages_pq = str(tmp_path / "pages_pq")
+    out = str(tmp_path / "hpr_out")
+    generate_pages(spark, 300).write.mode("overwrite").parquet(pages_pq)
+    rc = main(
+        ["--algo", "host-pagerank", "--edges", pages_pq, "--format", "pages",
+         "--pagerank-niters", "3", "--output", out],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    assert {r["host"] for r in rows} == {_hostn(k, 300) for k in range(300)}
+    assert all(r["rank_milli"] > 0 for r in rows)
+
+
+def _hostn(k: int, n_docs: int) -> str:
+    return f"site{k % n_sites_for(n_docs)}.example"

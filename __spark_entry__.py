@@ -73,13 +73,21 @@ def _pagerank_milli_sql(niters: int, tail: str) -> str:
     return "WITH " + ",\n".join(ctes) + f"\n{tail.replace('$LAST', f'r{niters}')}"
 
 
-def _wpagerank_milli_sql(niters: int) -> str:
+def _wpagerank_milli_sql(
+    niters: int,
+    edges_sql: str = EDGES_MILLI,
+    prologue: tuple[str, ...] = (),
+    tail: str | None = None,
+) -> str:
     """Unrolled WeightedPageRankMilli — mirrors
     fog_spark.algos.pagerank.WeightedPageRankMilli exactly: per-edge
     contrib = (850 * rank * wm) // (1000 * swm(u)) + 150000, multi-edges
-    counted, integer wm from EDGES_MILLI (no float weight conversion)."""
+    counted, integer wm (no float weight conversion). ``prologue`` CTEs
+    may define tables ``edges_sql`` references; ``tail`` overrides the
+    final SELECT (default: the raw (id, rank_milli) state)."""
     ctes = [
-        f"em AS MATERIALIZED ({EDGES_MILLI})",
+        *prologue,
+        f"em AS MATERIALIZED ({edges_sql})",
         "v AS MATERIALIZED (SELECT src AS id FROM em UNION SELECT dst FROM em)",
         "sw AS MATERIALIZED (SELECT src, SUM(wm) AS swm FROM em GROUP BY src)",
         "r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS rank_milli FROM v)",
@@ -98,8 +106,44 @@ def _wpagerank_milli_sql(niters: int) -> str:
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT id, rank_milli FROM r{niters}"
+        + "\n"
+        + (tail or f"SELECT id, rank_milli FROM r{niters}")
     )
+
+
+def _host_pagerank_sql(niters: int) -> str:
+    """Oracle for the composed pages -> host-PageRank pipeline
+    (host_pagerank4). The gate query's synthetic pages carry FORMULAIC
+    outlinks, so the oracle derives the host edge multiset arithmetically
+    from doc_id — fully independent of the Spark side's href regexp /
+    host_of extraction — then replays dense-id assignment (rank in
+    sorted host order, the assign_dense_ids contract) and the
+    WeightedPageRankMilli recurrence with wm = 1000 * n_links."""
+    host = "'h' || CAST({} % 23 AS VARCHAR) || '.test'"
+    prologue = (
+        "d AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS did FROM documents)",
+        "lk AS MATERIALIZED ("
+        f"SELECT {host.format('did')} AS src_host, {host.format('(did * 7 + 1)')} AS dst_host FROM d "
+        f"UNION ALL SELECT {host.format('did')}, {host.format('(did * 13 + 5)')} FROM d "
+        f"UNION ALL SELECT {host.format('did')}, {host.format('(did * 7 + 1)')} FROM d "
+        "WHERE did % 3 = 0)",
+        "hc AS MATERIALIZED (SELECT src_host, dst_host, COUNT(*) AS n "
+        "FROM lk GROUP BY src_host, dst_host)",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM "
+        "(SELECT src_host AS host FROM hc UNION SELECT dst_host FROM hc))",
+        "dim AS MATERIALIZED (SELECT host, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY host) - 1 AS BIGINT) AS id FROM hosts)",
+    )
+    edges_sql = (
+        "SELECT s.id AS src, t.id AS dst, CAST(n * 1000 AS BIGINT) AS wm "
+        "FROM hc JOIN dim s ON s.host = hc.src_host "
+        "JOIN dim t ON t.host = hc.dst_host"
+    )
+    tail = (
+        f"SELECT dim.host AS host, r{niters}.rank_milli AS rank_milli "
+        f"FROM r{niters} JOIN dim ON dim.id = r{niters}.id"
+    )
+    return _wpagerank_milli_sql(niters, edges_sql=edges_sql, prologue=prologue, tail=tail)
 
 
 def _sssp_milli_sql(rounds: int, edges_sql: str | None = None) -> str:
@@ -1003,14 +1047,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _edges(spark, sf), walk_len=4, p=4, q=0.25, trials=3, hash_fn="md5"
         )
 
-    def spcount4(spark, sf):
-        from fog_spark.algos.msbfs import shortest_path_counts
+    def host_pagerank4(spark, sf):
+        # the flagship composed pipeline at gate scale (north_star
+        # shape): pages (url, html) -> href extraction -> host rollup
+        # (operators/hostgraph.py) -> dense host ids -> weight-
+        # proportional PageRank over the aggregated host multigraph.
+        # Links are FORMULAIC in doc_id, so the oracle re-derives the
+        # host edge multiset arithmetically — independently checking the
+        # whole chain: href regexp, host_of, rollup counts, dense-id
+        # order, and the milli recurrence.
+        from fog_spark.operators.hostgraph import host_pagerank_milli
 
-        return shortest_path_counts(
-            _edges(spark, sf), [0, 1, 2, 3], max_rounds=16
+        d = _docs(spark, sf)
+        did = F.col("doc_id").cast("long")
+
+        def href(h, p):
+            return F.concat(
+                F.lit('<a href="https://h'), h.cast("string"),
+                F.lit(".test/p/"), p.cast("string"), F.lit('">x</a>'),
+            )
+
+        l1 = href((did * 7 + 1) % 23, did * 3)
+        l2 = href((did * 13 + 5) % 23, did * 5)
+        html = F.concat(
+            F.lit("<html><body>"), l1, l2,
+            F.when(did % 3 == 0, l1).otherwise(F.lit("")),
+            F.lit("</body></html>"),
         )
+        pages = d.select(
+            F.concat(
+                F.lit("https://h"), (did % 23).cast("string"),
+                F.lit(".test/p/"), did.cast("string"),
+            ).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        return host_pagerank_milli(spark, pages, niters=4)
 
     def spcont8(spark, sf):
+        # also the gate slot for shortest_path_counts: the continuation
+        # terms consume the forward sigma pass, so a wrong sigma cannot
+        # hash-match here (spcount keeps its own pytest oracle —
+        # tests/test_msbfs.py)
         from fog_spark.algos.msbfs import sp_continuations
 
         return sp_continuations(_edges(spark, sf), [0, 1, 2, 3], max_rounds=8)
@@ -1372,7 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss3": ktruss3,
         "hits4_milli": hits4_milli,
         "wpagerank8_milli": wpagerank8_milli,
-        "spcount4": spcount4,
+        "host_pagerank4": host_pagerank4,
         "spcont8": spcont8,
         "egonet2": egonet2,
         "co_project_capped": co_project_capped,
@@ -1535,7 +1612,7 @@ GROUP BY r1.a""",
         "ktruss3": _ktruss_sql(3, 4),
         "hits4_milli": _hits_sql(4),
         "wpagerank8_milli": _wpagerank_milli_sql(8),
-        "spcount4": _spcount_sql([0, 1, 2, 3], 16),
+        "host_pagerank4": _host_pagerank_sql(4),
         "spcont8": _spcont_sql([0, 1, 2, 3], 8),
         "co_project_capped": _co_project_sql(95, 3),
         "egonet2": _msbfs_sql(

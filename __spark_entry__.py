@@ -1175,21 +1175,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lcc",
         )
 
-    def extract_roundtrip(spark, sf):
+    def weblinks_norm(spark, sf):
+        # crawl-ingest chain in one slot: body-text byte-identity
+        # (input_hint, via text_ok) + anchor extraction + href
+        # resolution (root-relative, ../-relative, protocol-relative)
+        # + canonicalization (host lowercasing, default-port strip) +
+        # rel=nofollow + fragment/mailto drops (functions/urlnorm.py).
+        # Hrefs are FORMULAIC in doc_id, so the oracle derives every
+        # expected row arithmetically — independent of the regex /
+        # resolution implementation on the Spark side.
+        from fog_spark.functions.urlnorm import page_links
+
         d = _docs(spark, sf)
+        k = F.col("doc_id").cast("long")
         html = F.concat(
             F.lit("<html><head><title>doc</title></head><body>"),
             F.col("text"),
-            F.lit('<a href="https://x/'),
-            F.col("doc_id").cast("string"),
-            F.lit('">t</a></body></html>'),
+            F.lit('<a href="/p/'), (k * 7 + 1).cast("string"),
+            F.lit('">p</a><a href="../x/'), (k * 3).cast("string"),
+            F.lit('.html">x</a><a rel="nofollow" href="//Host'),
+            ((k + 1) % 7).cast("string"),
+            F.lit('.test/nf">n</a><a href="#top">f</a>'),
+            F.lit('<a href="mailto:a@b.c">m</a></body></html>'),
         )
-        extracted = extract_text_col(F.encode(html, "UTF-8"))
-        return d.select(
-            "doc_id",
-            (extracted == F.col("text")).alias("ok"),
-            F.length(extracted).cast("long").alias("extracted_len"),
+        pages = d.select(
+            "text",
+            F.concat(
+                F.lit("https://Host"), (k % 7).cast("string"),
+                F.lit(".test:443/d/"), k.cast("string"),
+                F.lit("/index.html"),
+            ).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
         )
+        links = page_links(pages)
+        text_ok = extract_text_col(F.col("html")) == F.col("text")
+        return links.join(
+            pages.select("url", text_ok.alias("text_ok")), "url"
+        ).select("url", "dst_url", "anchor", "nofollow", "text_ok")
 
     def doc_stats(spark, sf):
         # quality + Gopher-style repetition signals in one slot: the
@@ -1459,7 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_reach8": anchor_reach8,
         "lpa5_labels_modularity": lpa5_labels_modularity,
         "clustering_coeff": clustering_coeff,
-        "extract_roundtrip": extract_roundtrip,
+        "weblinks_norm": weblinks_norm,
         "doc_stats": doc_stats,
         "lang_id": lang_id_q,
         "dedup_exact_md5": dedup_exact_md5,
@@ -1650,16 +1672,19 @@ SELECT d.id, CAST(d.degree AS BIGINT) AS degree,
        THEN 2.0 * COALESCE(p.tri, 0) / (d.degree * (d.degree - 1.0))
        ELSE 0.0 END AS lcc
 FROM deg d LEFT JOIN per_v p ON p.id = d.id""",
-        "extract_roundtrip": r"""
-WITH h AS (
-  SELECT doc_id, text,
-    '<html><head><title>doc</title></head><body>' || text ||
-    '<a href="https://x/' || CAST(doc_id AS VARCHAR) || '">t</a></body></html>' AS html
-  FROM documents)
-SELECT doc_id,
-  regexp_extract(html, '<body>(.*?)(?:<a href=|</body>)', 1) = text AS ok,
-  CAST(length(regexp_extract(html, '<body>(.*?)(?:<a href=|</body>)', 1)) AS BIGINT) AS extracted_len
-FROM h""",
+        "weblinks_norm": r"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS k FROM documents),
+u AS (SELECT k,
+  'https://host' || CAST(k % 7 AS VARCHAR) || '.test' AS root,
+  'https://Host' || CAST(k % 7 AS VARCHAR) || '.test:443/d/' ||
+    CAST(k AS VARCHAR) || '/index.html' AS url
+FROM d)
+SELECT url, root || '/p/' || CAST(k * 7 + 1 AS VARCHAR) AS dst_url,
+  'p' AS anchor, FALSE AS nofollow, TRUE AS text_ok FROM u
+UNION ALL
+SELECT url, root || '/d/x/' || CAST(k * 3 AS VARCHAR) || '.html', 'x', FALSE, TRUE FROM u
+UNION ALL
+SELECT url, 'https://host' || CAST((k + 1) % 7 AS VARCHAR) || '.test/nf', 'n', TRUE, TRUE FROM u""",
         "doc_stats": quality,
         "lang_id": f"""
 WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),

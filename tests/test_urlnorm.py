@@ -1,0 +1,113 @@
+"""Web-link resolution/canonicalization (fog_spark.functions.urlnorm).
+
+Hand-written expectations for every classification + canonicalization
+branch, native Column path pinned equal to the Arrow pandas twin, and a
+run over the real sf0.001 documents-derived pages table.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fog_spark.functions.urlnorm import page_links, page_links_udf
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode()) for u, h in rows], "url string, html binary"
+    )
+
+
+FIXTURE = [
+    # base page with a path two levels deep
+    (
+        "https://WWW.Example.COM:443/a/b/page.html?x=1",
+        "<html><body>"
+        '<a href="https://other.test/p">abs</a>'
+        '<a href="//CDN.test:80/img">protorel</a>'
+        '<a href="/root/doc">rootrel</a>'
+        '<a href="sib.html">rel</a>'
+        '<a href="../up/./d.html">dots</a>'
+        '<a href="../../../esc.html">escape</a>'
+        '<a href="#frag">fragonly</a>'
+        '<a href="">empty</a>'
+        '<a href="mailto:x@y.z">mail</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="ftp://f.test/x">ftp</a>'
+        '<a rel="nofollow" href="https://spam.test/">nf</a>'
+        '<a href="HTTP://UP.test:80/Q#sec">upper</a>'
+        "</body></html>",
+    ),
+    # rootless base
+    ("https://h.test", '<html><body><a href="x/y.html">r</a></body></html>'),
+]
+
+# (src, dst, anchor, nofollow)
+EXPECTED = [
+    ("https://WWW.Example.COM:443/a/b/page.html?x=1", "https://other.test/p", "abs", False),
+    # //host: base scheme https, but port :80 is NOT default for https -> kept
+    ("https://WWW.Example.COM:443/a/b/page.html?x=1", "https://cdn.test:80/img", "protorel", False),
+    ("https://WWW.Example.COM:443/a/b/page.html?x=1", "https://www.example.com/root/doc", "rootrel", False),
+    ("https://WWW.Example.COM:443/a/b/page.html?x=1", "https://www.example.com/a/b/sib.html", "rel", False),
+    ("https://WWW.Example.COM:443/a/b/page.html?x=1", "https://www.example.com/a/up/d.html", "dots", False),
+    # ../../../ from /a/b/ escapes the root -> clamped at root
+    ("https://WWW.Example.COM:443/a/b/page.html?x=1", "https://www.example.com/esc.html", "escape", False),
+    ("https://WWW.Example.COM:443/a/b/page.html?x=1", "https://spam.test/", "nf", True),
+    ("https://WWW.Example.COM:443/a/b/page.html?x=1", "http://up.test/Q", "upper", False),
+    ("https://h.test", "https://h.test/x/y.html", "r", False),
+]
+
+
+def test_page_links_branches(spark):
+    got = sorted(
+        tuple(r) for r in page_links(_pages(spark, FIXTURE)).collect()
+    )
+    assert got == sorted(EXPECTED)
+
+
+def test_follow_only_drops_nofollow(spark):
+    got = page_links(_pages(spark, FIXTURE), follow_only=True).collect()
+    assert all(not r["nofollow"] for r in got)
+    assert len(got) == len(EXPECTED) - 1
+
+
+def test_udf_twin_matches_native(spark):
+    pages = _pages(spark, FIXTURE)
+    native = sorted(tuple(r) for r in page_links(pages).collect())
+    twin = sorted(tuple(r) for r in page_links_udf(pages).collect())
+    assert native == twin
+
+
+def test_real_testdata_pages(spark):
+    # pages synthesized from the real documents parquet (messy hrefs
+    # planted formulaically, like the gate's host_pagerank4 pages)
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    did = F.col("doc_id").cast("long")
+    html = F.concat(
+        F.lit('<html><body><a href="/p/'),
+        (did * 7).cast("string"),
+        F.lit('">a</a><a href="../q/'),
+        (did * 3).cast("string"),
+        F.lit('.html">b</a><a rel="nofollow" href="#top">c</a></body></html>'),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://H"), (did % 11).cast("string"),
+            F.lit(".test:443/d/"), did.cast("string"), F.lit("/index.html"),
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    n_docs = pages.count()
+    out = page_links(pages)
+    rows = out.collect()
+    # fragment-only anchor dropped -> exactly 2 links per page
+    assert len(rows) == 2 * n_docs
+    assert all(r["dst_url"].startswith("https://h") for r in rows)
+    # ../q/ resolves one level up from /d/<id>/ -> /d/q/<3*id>.html
+    b = [r for r in rows if r["anchor"] == "b"]
+    assert all("/d/q/" in r["dst_url"] for r in b)
+    # :443 stripped everywhere
+    assert all(":443" not in r["dst_url"] for r in rows)
+    twin = sorted(tuple(r) for r in page_links_udf(pages).collect())
+    assert twin == sorted(tuple(r) for r in rows)

@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="parquet")
     p.add_argument("--weighted", action="store_true",
                    help="edgelist only: parse a third weight column")
+    p.add_argument("--resolve-links", action="store_true",
+                   help="pages format: resolve relative hrefs against the page "
+                        "url, canonicalize (lowercase host, default ports, "
+                        "dot-segments), drop rel=nofollow links")
     p.add_argument("--hash-weights", action="store_true",
                    help="attach deterministic hash weights (FIXTURES F2 rule)")
     p.add_argument("--output", "-o", default=None,
@@ -113,7 +117,9 @@ def load_edges(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
         from fog_spark.functions.extract import edges_from_pages
 
         pages = spark.read.parquet(args.edges)
-        return edges_from_pages(pages, weighted=args.hash_weights)
+        return edges_from_pages(
+            pages, weighted=args.hash_weights, resolve=args.resolve_links
+        )
     if args.hash_weights and "weight" not in e.columns:
         e = with_hash_weights(e)
     return e
@@ -147,7 +153,9 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         if args.format != "pages":
             raise SystemExit("--algo host-pagerank requires --format pages")
         pages = spark.read.parquet(args.edges)
-        return host_pagerank_milli(spark, pages, niters=args.pagerank_niters)
+        return host_pagerank_milli(
+            spark, pages, niters=args.pagerank_niters, resolve=args.resolve_links
+        )
 
     e = load_edges(spark, args)
 

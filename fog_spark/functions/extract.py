@@ -122,17 +122,28 @@ def edges_from_pages(
     ids: DataFrame | None = None,
     use_udf: bool = False,
     weighted: bool = True,
+    resolve: bool = False,
 ) -> DataFrame:
     """pages -> (src, dst, weight) edge table.
 
     ids: optional (url, id) dictionary; defaults to the fixture url parse.
+    resolve: route extraction through functions/urlnorm.page_links —
+    relative hrefs resolved against the page url, canonicalized
+    (lowercased host, default ports stripped, dot-segments removed),
+    rel="nofollow" links dropped. Off by default: the fixture pages carry
+    absolute canonical hrefs, and the raw path joins the dictionary on
+    the exact href bytes.
     Weight is deterministic: 1.0 + pmod(xxhash64(src, dst), 9000)/1000
     (FIXTURES F2) — the reproducible replacement for FOG's time-seeded
     random type1 weights (/root/reference/convert/process_adjlist.cpp:25-30).
     """
     if ids is None:
         ids = fixture_page_ids(pages)
-    if use_udf:
+    if resolve:
+        from fog_spark.functions.urlnorm import page_links
+
+        linked = page_links(pages, follow_only=True).select("url", "dst_url")
+    elif use_udf:
         linked = extract_pages_udf(pages).select("url", F.explode("outlinks").alias("dst_url"))
     else:
         linked = pages.select(

@@ -36,15 +36,25 @@ def host_of(url: Column) -> Column:
     )
 
 
-def host_link_counts(pages: DataFrame) -> DataFrame:
+def host_link_counts(pages: DataFrame, resolve: bool = False) -> DataFrame:
     """(src_host, dst_host, n_links) — the aggregated host multigraph,
     straight off the pages table. Self-host links (site-internal
     navigation) are kept; callers filter if they want the cross-host
-    graph only."""
-    linked = pages.select(
-        host_of(F.col("url")).alias("src_host"),
-        F.explode(extract_outlinks_col(F.col("html"))).alias("dst_url"),
-    )
+    graph only. ``resolve`` routes extraction through
+    urlnorm.page_links (relative hrefs resolved, nofollow dropped) —
+    required on real crawl HTML where most hrefs are relative; the raw
+    default matches the absolute-href fixture pages."""
+    if resolve:
+        from fog_spark.functions.urlnorm import page_links
+
+        linked = page_links(pages, follow_only=True).select(
+            host_of(F.col("url")).alias("src_host"), "dst_url"
+        )
+    else:
+        linked = pages.select(
+            host_of(F.col("url")).alias("src_host"),
+            F.explode(extract_outlinks_col(F.col("html"))).alias("dst_url"),
+        )
     return (
         linked.select("src_host", host_of(F.col("dst_url")).alias("dst_host"))
         .groupBy("src_host", "dst_host")
@@ -52,11 +62,13 @@ def host_link_counts(pages: DataFrame) -> DataFrame:
     )
 
 
-def host_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+def host_graph(
+    pages: DataFrame, resolve: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """(host_dim, edges): dense-id host dimension ``(host, id)`` and a
     weighted edge table ``(src, dst, weight=n_links)`` ready for any
     fog_spark algorithm (engine, cc_star, walks, ...)."""
-    counts = host_link_counts(pages)
+    counts = host_link_counts(pages, resolve=resolve)
     hosts = (
         counts.select(F.col("src_host").alias("host"))
         .union(counts.select(F.col("dst_host").alias("host")))
@@ -77,7 +89,9 @@ def host_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     return dim, edges
 
 
-def host_pagerank_milli(spark, pages: DataFrame, niters: int = 8) -> DataFrame:
+def host_pagerank_milli(
+    spark, pages: DataFrame, niters: int = 8, resolve: bool = False
+) -> DataFrame:
     """(host, rank_milli): weight-proportional PageRank over the host
     graph — rank mass flows in proportion to inter-host link counts (the
     crawl-prioritization signal). Integer-milli arithmetic, so results
@@ -85,7 +99,7 @@ def host_pagerank_milli(spark, pages: DataFrame, niters: int = 8) -> DataFrame:
     from fog_spark.algos import WeightedPageRankMilli
     from fog_spark.plans.engine import ScatterGatherEngine
 
-    dim, edges = host_graph(pages)
+    dim, edges = host_graph(pages, resolve=resolve)
     eng = ScatterGatherEngine(spark, checkpoint_dir=None, collect_lineage=False)
     res = eng.run(WeightedPageRankMilli(niters=niters), edges)
     return (

@@ -70,3 +70,12 @@ def test_assign_dense_ids(spark):
     # deterministic: ids follow url sort order
     by_url = sorted(ids, key=lambda r: r["url"])
     assert [r["id"] for r in by_url] == list(range(N))
+
+
+def test_edges_from_pages_resolve_equals_raw(spark):
+    # fixture hrefs are already absolute + canonical, so the urlnorm
+    # path (resolve=True) must produce the identical edge table
+    pages = generate_pages(spark, N)
+    raw = edges_from_pages(pages).orderBy("src", "dst", "weight").collect()
+    res = edges_from_pages(pages, resolve=True).orderBy("src", "dst", "weight").collect()
+    assert [tuple(r) for r in raw] == [tuple(r) for r in res]

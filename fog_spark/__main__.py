@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="parquet")
     p.add_argument("--weighted", action="store_true",
                    help="edgelist only: parse a third weight column")
+    p.add_argument("--host-rollup", action="store_true",
+                   help="pages format: collapse the page graph to the host "
+                        "graph (dense host ids, n_links weights) and run the "
+                        "chosen algorithm over it; output ids carry a host "
+                        "column")
     p.add_argument("--resolve-links", action="store_true",
                    help="pages format: resolve relative hrefs against the page "
                         "url, canonicalize (lowercase host, default ports, "
@@ -126,6 +131,41 @@ def load_edges(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
 
 
 def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
+    if args.algo == "host-pagerank":
+        # full webtext pipeline: pages html -> outlinks -> host rollup ->
+        # weighted host PageRank; wants the raw pages table, not edges
+        from fog_spark.operators.hostgraph import host_pagerank_milli
+
+        if args.format != "pages":
+            raise SystemExit("--algo host-pagerank requires --format pages")
+        pages = spark.read.parquet(args.edges)
+        return host_pagerank_milli(
+            spark, pages, niters=args.pagerank_niters, resolve=args.resolve_links
+        )
+
+    dim = None
+    if args.host_rollup:
+        # run ANY algorithm over the host graph: pages -> host rollup ->
+        # dense-id weighted edges; vertex ids in the output are joined
+        # back to their host names
+        from fog_spark.operators.hostgraph import host_graph
+
+        if args.format != "pages":
+            raise SystemExit("--host-rollup requires --format pages")
+        pages = spark.read.parquet(args.edges)
+        dim, e = host_graph(pages, resolve=args.resolve_links)
+    else:
+        e = load_edges(spark, args)
+    out = _dispatch(args, spark, e)
+    if dim is not None and "id" in out.columns:
+        out = out.join(
+            F.broadcast(dim.withColumnRenamed("id", "_hid")),
+            F.col("id") == F.col("_hid"),
+        ).drop("_hid")
+    return out
+
+
+def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> DataFrame:
     from fog_spark import graph as G
     from fog_spark.algos import (
         BFS,
@@ -144,20 +184,6 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         triangles,
     )
     from fog_spark.plans.engine import ScatterGatherEngine
-
-    if args.algo == "host-pagerank":
-        # full webtext pipeline: pages html -> outlinks -> host rollup ->
-        # weighted host PageRank; wants the raw pages table, not edges
-        from fog_spark.operators.hostgraph import host_pagerank_milli
-
-        if args.format != "pages":
-            raise SystemExit("--algo host-pagerank requires --format pages")
-        pages = spark.read.parquet(args.edges)
-        return host_pagerank_milli(
-            spark, pages, niters=args.pagerank_niters, resolve=args.resolve_links
-        )
-
-    e = load_edges(spark, args)
 
     if args.algo == "stats":
         s = G.graph_stats(e)

@@ -79,3 +79,25 @@ def test_cli_new_algos_smoke(spark, tmp_path):
         assert rc == 0, algo
         rows = spark.read.parquet(str(out)).collect()
         assert rows and check(rows), algo
+
+
+def test_cli_host_rollup_any_algo(spark, tmp_path):
+    # --host-rollup runs the chosen algorithm over the host graph and
+    # joins host names back onto the vertex ids; --resolve-links routes
+    # extraction through urlnorm (identical here: fixture hrefs are
+    # already absolute + canonical)
+    from fog_spark.sources.pages import generate_pages
+
+    pages_dir = tmp_path / "pages"
+    generate_pages(spark, 200).write.parquet(str(pages_dir))
+    out = tmp_path / "host_cc"
+    rc = main(
+        ["--algo", "cc", "--edges", str(pages_dir), "--format", "pages",
+         "--host-rollup", "--resolve-links", "--output", str(out)],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = spark.read.parquet(str(out)).collect()
+    assert rows and {"id", "component", "host"} <= set(rows[0].asDict())
+    hosts = {r["host"] for r in rows}
+    assert all(h and h == h.lower() for h in hosts)

@@ -274,3 +274,38 @@ def neighborhood_function(
             last = algo.nf_history[r]
         out.append((r, last))
     return out
+
+
+def effective_diameter(
+    edges: DataFrame,
+    q: float = 0.9,
+    m: int = 16,
+    max_rounds: int = 32,
+    hash_fn: str = "xxhash64",
+    engine: ScatterGatherEngine | None = None,
+) -> float:
+    """ANF effective diameter: the smallest radius (linearly
+    interpolated between rounds, the standard ANF/HyperANF reading)
+    at which the neighborhood function reaches a fraction ``q`` of its
+    final value. One HyperBall run (driver cost: a list of floats);
+    ``max_rounds`` bounds the sketch fixpoint on pathological chains."""
+    if not 0 < q <= 1:
+        raise ValueError("q must be in (0, 1]")
+    nf = neighborhood_function(
+        edges, m=m, rounds=max_rounds, hash_fn=hash_fn, engine=engine
+    )
+    total = nf[-1][1]
+    if total <= 0:
+        return 0.0
+    target = q * total
+    prev_r, prev_v = nf[0]
+    if prev_v >= target:
+        return 0.0
+    for r, v in nf[1:]:
+        if v >= target:
+            # interpolate within (prev_r, r]
+            if v == prev_v:
+                return float(r)
+            return prev_r + (target - prev_v) / (v - prev_v)
+        prev_r, prev_v = r, v
+    return float(nf[-1][0])

@@ -91,3 +91,34 @@ def test_neighborhood_function_single_run(spark):
         )
         want = sk.select(F.sum(hll_estimate(64, 48 - 6 + 1)).alias("e")).collect()[0]["e"]
         assert abs(nf[r][1] - want) < 1e-6 * abs(want), r
+
+
+def test_effective_diameter_path_graph(spark):
+    # directed path 0->1->...->19: N(r) = sum_{v} |ball(v,r)| =
+    # 20 + sum of min(r, dist-to-end) ~ exact closed form; the q=1.0
+    # diameter must land near 19, q=0.5 well below it, and a clique's
+    # effective diameter is ~1
+    from fog_spark.algos.hyperball import effective_diameter
+
+    path = [(i, i + 1) for i in range(19)]
+    d_full = effective_diameter(
+        make_edges_df(spark, path), q=1.0, m=64, max_rounds=24, hash_fn="md5"
+    )
+    assert 17.0 <= d_full <= 24.0, d_full
+    d_half = effective_diameter(
+        make_edges_df(spark, path), q=0.5, m=64, max_rounds=24, hash_fn="md5"
+    )
+    assert d_half < d_full and d_half >= 1.0, (d_half, d_full)
+
+    clique = [(i, j) for i in range(8) for j in range(8) if i != j]
+    d_cl = effective_diameter(
+        make_edges_df(spark, clique), q=0.9, m=64, max_rounds=6, hash_fn="md5"
+    )
+    assert d_cl <= 1.1, d_cl
+
+
+def test_effective_diameter_validation(spark):
+    from fog_spark.algos.hyperball import effective_diameter
+
+    with pytest.raises(ValueError):
+        effective_diameter(make_edges_df(spark, [(0, 1)]), q=0.0)

@@ -51,6 +51,7 @@ ALGOS = (
     "walks",
     "node2vec",
     "host-pagerank",
+    "crawl-frontier",
 )
 
 
@@ -66,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="parquet")
     p.add_argument("--weighted", action="store_true",
                    help="edgelist only: parse a third weight column")
+    p.add_argument("--frontier-cap", type=int, default=None,
+                   help="crawl-frontier: keep at most this many candidate "
+                        "urls per host")
     p.add_argument("--host-rollup", action="store_true",
                    help="pages format: collapse the page graph to the host "
                         "graph (dense host ids, n_links weights) and run the "
@@ -141,6 +145,21 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         pages = spark.read.parquet(args.edges)
         return host_pagerank_milli(
             spark, pages, niters=args.pagerank_niters, resolve=args.resolve_links
+        )
+
+    if args.algo == "crawl-frontier":
+        # pages -> (uncrawled url, host, inlink count, host rank):
+        # the prioritized fetch queue (operators/crawl.py)
+        from fog_spark.operators.crawl import crawl_frontier
+
+        if args.format != "pages":
+            raise SystemExit("--algo crawl-frontier requires --format pages")
+        pages = spark.read.parquet(args.edges)
+        return crawl_frontier(
+            pages,
+            niters=args.pagerank_niters,
+            per_host_cap=args.frontier_cap,
+            resolve=args.resolve_links,
         )
 
     dim = None

@@ -1,0 +1,85 @@
+"""Crawl-frontier prioritization over Common-Crawl-style pages.
+
+The reason a crawler ranks hosts (operators/hostgraph.py) is to decide
+what to fetch next. This composes the pieces into that queue: every
+canonical URL that the crawl links to but does not contain, scored by
+the PageRank of its host and how often the crawl references it, with an
+optional per-host cap (the politeness/diversity constraint real
+schedulers apply).
+
+Scale shape: link extraction + one per-dst_url hash aggregation
+(map-side combine) + a left-anti join against the crawled url set
+(both sides shuffle on url — no broadcast assumption; the crawl is the
+big table) + a broadcast join against the host-rank dimension (hosts
+are ~4 orders smaller than pages). The per-host cap is a row_number
+window over rows already reduced to one per candidate URL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fog_spark.functions.urlnorm import page_links
+from fog_spark.operators.hostgraph import host_graph, host_of
+
+
+def crawl_frontier(
+    pages: DataFrame,
+    niters: int = 8,
+    per_host_cap: int | None = None,
+    resolve: bool = True,
+) -> DataFrame:
+    """(dst_url, host, n_refs, host_rank_milli) for every kept link
+    target absent from the crawl, ordered for consumption by
+    (host_rank_milli desc, n_refs desc, dst_url asc) — deterministic.
+    ``per_host_cap`` keeps only the top-k candidates per host under
+    that same order. ``resolve=False`` trusts hrefs to be absolute and
+    canonical (fixture pages); real HTML wants the default."""
+    from fog_spark.algos import WeightedPageRankMilli
+    from fog_spark.plans.engine import ScatterGatherEngine
+
+    if resolve:
+        links = page_links(pages, follow_only=True).select("url", "dst_url")
+    else:
+        from fog_spark.functions.extract import extract_outlinks_col
+
+        links = pages.select(
+            "url",
+            F.explode(extract_outlinks_col(F.col("html"))).alias("dst_url"),
+        )
+    candidates = (
+        links.join(
+            pages.select(F.col("url").alias("dst_url")), "dst_url", "left_anti"
+        )
+        .groupBy("dst_url")
+        .agg(F.count("*").alias("n_refs"))
+        .withColumn("host", host_of(F.col("dst_url")))
+    )
+    # host ranks from the same pages table (one extraction pass of its
+    # own inside host_graph; callers holding a pre-built host graph can
+    # inline this composition themselves)
+    dim, edges = host_graph(pages, resolve=resolve)
+    eng = ScatterGatherEngine(pages.sparkSession, checkpoint_dir=None, collect_lineage=False)
+    ranks = eng.run(WeightedPageRankMilli(niters=niters), edges).state
+    host_rank = dim.join(ranks, dim["id"] == ranks["id"]).select(
+        "host", "rank_milli"
+    )
+    out = candidates.join(F.broadcast(host_rank), "host", "left").select(
+        "dst_url",
+        "host",
+        "n_refs",
+        F.coalesce(F.col("rank_milli"), F.lit(0)).alias("host_rank_milli"),
+    )
+    if per_host_cap is not None:
+        w = Window.partitionBy("host").orderBy(
+            F.col("host_rank_milli").desc(),
+            F.col("n_refs").desc(),
+            F.col("dst_url").asc(),
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= per_host_cap)
+            .drop("_rn")
+        )
+    return out

@@ -1,0 +1,81 @@
+"""Crawl-frontier prioritization (fog_spark.operators.crawl)."""
+
+from pyspark.sql import functions as F
+
+from fog_spark.operators.crawl import crawl_frontier
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode()) for u, h in rows], "url string, html binary"
+    )
+
+
+def test_frontier_excludes_crawled_and_counts(spark):
+    rows = [
+        (
+            "https://a.test/1",
+            # links: one crawled page (excluded), one new url twice,
+            # one nofollow new url (excluded)
+            '<html><body><a href="https://a.test/2">in</a>'
+            '<a href="https://new.test/x">n1</a>'
+            '<a href="https://new.test/x">n2</a>'
+            '<a rel="nofollow" href="https://spam.test/y">s</a></body></html>',
+        ),
+        (
+            "https://a.test/2",
+            '<html><body><a href="https://new.test/z">n3</a></body></html>',
+        ),
+    ]
+    out = {r["dst_url"]: r for r in crawl_frontier(_pages(spark, rows), niters=2).collect()}
+    assert set(out) == {"https://new.test/x", "https://new.test/z"}
+    assert out["https://new.test/x"]["n_refs"] == 2
+    assert out["https://new.test/z"]["n_refs"] == 1
+    assert all(r["host"] == "new.test" for r in out.values())
+    # new.test receives links but has no outgoing pages in the crawl ->
+    # it IS a vertex of the host graph, so it carries a real rank
+    assert all(r["host_rank_milli"] > 0 for r in out.values())
+
+
+def test_frontier_per_host_cap_and_order(spark):
+    # one host, three candidates with n_refs 3/2/1 -> cap keeps top 2
+    html = (
+        '<html><body>'
+        '<a href="https://h.test/a">1</a><a href="https://h.test/a">2</a>'
+        '<a href="https://h.test/a">3</a>'
+        '<a href="https://h.test/b">4</a><a href="https://h.test/b">5</a>'
+        '<a href="https://h.test/c">6</a></body></html>'
+    )
+    pages = _pages(spark, [("https://src.test/p", html)])
+    capped = crawl_frontier(pages, niters=2, per_host_cap=2).collect()
+    kept = {r["dst_url"] for r in capped}
+    assert kept == {"https://h.test/a", "https://h.test/b"}
+
+
+def test_frontier_real_testdata(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n = d.count()
+    k = F.col("doc_id").cast("long")
+    # every page links the true url of doc (k+5) mod n (crawled;
+    # doc_ids are dense 0..n-1) and one never-crawled url on a
+    # rotating host
+    nxt = (k + 5) % n
+    html = F.concat(
+        F.lit('<html><body><a href="https://h'), (nxt % 5).cast("string"),
+        F.lit(".test/p/"), nxt.cast("string"),
+        F.lit('">a</a><a href="https://ext'), (k % 3).cast("string"),
+        F.lit(".test/new/"), (k % 50).cast("string"),
+        F.lit('">b</a></body></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://h"), (k % 5).cast("string"),
+                 F.lit(".test/p/"), k.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    out = crawl_frontier(pages, niters=2).collect()
+    # ext hosts never appear as page urls: 3 hosts x 50 paths
+    assert {r["host"] for r in out} == {"ext0.test", "ext1.test", "ext2.test"}
+    assert len(out) == 150
+    assert sum(r["n_refs"] for r in out) == d.count()

@@ -19,8 +19,8 @@ oracles):
 
 - href classification: fragment-only / empty -> dropped; explicit
   scheme -> kept only for http/https; ``//host/..`` -> base scheme;
-  ``/path`` -> base root; anything else resolves against the base
-  directory.
+  ``/path`` -> base root; ``?query`` -> base path with the query
+  replaced; anything else resolves against the base directory.
 - canonicalization: lowercase scheme + host, drop the fragment, strip
   default ports (:80 http, :443 https), remove dot-segments (bounded at
   ``_DOT_ROUNDS`` nesting levels — beyond that depth the residue is
@@ -94,6 +94,9 @@ def resolve_href(base: Column, href: Column) -> Column:
         )
         .when(h.startswith("//"), F.concat(base_scheme, F.lit(":"), h))
         .when(h.startswith("/"), F.concat(base_root, h))
+        # query-only ref: replace the base query, keep the full path
+        # (RFC 3986 5.3: ref with query but no path)
+        .when(h.startswith("?"), F.concat(base_path, h))
         .otherwise(F.concat(base_dir, h))
     )
 
@@ -201,8 +204,10 @@ def page_links_udf(pages: DataFrame) -> DataFrame:
                         scheme.notna(),
                         href.str.startswith("//"),
                         href.str.startswith("/"),
+                        href.str.startswith("?"),
                     ],
-                    [None, href, None, b_scheme + ":" + href, b_root + href],
+                    [None, href, None, b_scheme + ":" + href, b_root + href,
+                     b_path + href],
                     default=b_dir + href,
                 ),
                 index=flat.index,

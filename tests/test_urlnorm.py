@@ -111,3 +111,107 @@ def test_real_testdata_pages(spark):
     assert all(":443" not in r["dst_url"] for r in rows)
     twin = sorted(tuple(r) for r in page_links_udf(pages).collect())
     assert twin == sorted(tuple(r) for r in rows)
+
+
+def test_resolution_matches_stdlib_urljoin(spark):
+    # 400 seeded-random (base, href) cases in ONE Spark job, compared
+    # against urllib.parse.urljoin (the stdlib's RFC 3986 resolver) +
+    # the same canonicalization applied in pure Python. Generation stays
+    # inside the engine's documented bounds (dot-segment nesting <= 4,
+    # dots never inside query strings).
+    import random
+    import re
+    from urllib.parse import urljoin, urlsplit
+
+    rng = random.Random(1234)
+
+    def remove_dot_segments(path):
+        out = []
+        for seg in path.split("/"):
+            if seg == ".":
+                continue
+            if seg == "..":
+                if len(out) > 1:
+                    out.pop()
+            else:
+                out.append(seg)
+        # preserve trailing "/" semantics of "/." and "/.."
+        if path.endswith(("/.", "/..")):
+            out.append("")
+        return "/".join(out)
+
+    def py_oracle(base, href):
+        h = href.strip()
+        if not h or h.startswith("#"):
+            return None
+        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):", h)
+        if m and m.group(1).lower() not in ("http", "https"):
+            return None
+        s = urlsplit(urljoin(base, h))
+        scheme = s.scheme.lower()
+        host = s.netloc.lower()
+        if scheme == "http" and host.endswith(":80"):
+            host = host[: -len(":80")]
+        if scheme == "https" and host.endswith(":443"):
+            host = host[: -len(":443")]
+        path = remove_dot_segments(s.path) or "/"
+        if not path.startswith("/"):
+            path = "/" + path
+        q = f"?{s.query}" if s.query else ""
+        return f"{scheme}://{host}{path}{q}"
+
+    segs = ["a", "b1", "Seg", "x-y", "p_q"]
+
+    def rand_path(depth):
+        return "".join("/" + rng.choice(segs) for _ in range(depth))
+
+    cases = []
+    for i in range(400):
+        scheme = rng.choice(["http", "https", "HTTP", "hTtPs"])
+        host = rng.choice(["h.test", "WWW.Ex.test", "Sub.Ex.test"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        bpath = rand_path(rng.randint(0, 3)) + rng.choice(["", "/page.html"])
+        bq = rng.choice(["", "?b=1"])
+        base = f"{scheme}://{host}{port}{bpath}{bq}"
+        kind = rng.randrange(8)
+        if kind == 0:  # absolute, maybe with dots
+            href = (
+                rng.choice(["http", "https", "ftp"])
+                + "://Other.test"
+                + rand_path(rng.randint(0, 2))
+                + rng.choice(["", "/./x", "/d/../y"])
+            )
+        elif kind == 1:
+            href = "//Cdn.test" + rand_path(rng.randint(0, 2))
+        elif kind == 2:
+            href = rand_path(rng.randint(1, 3)) or "/z"
+        elif kind == 3:
+            ups = "../" * rng.randint(1, 3)
+            href = ups + rng.choice(segs) + rng.choice(["", ".html"])
+        elif kind == 4:
+            href = rng.choice(["./", ""]) + rng.choice(segs) + rng.choice(
+                ["", "/sub", "?q=2"]
+            )
+        elif kind == 5:
+            href = "?only=" + rng.choice(segs)
+        elif kind == 6:
+            href = rng.choice(["#frag", "", "  "])
+        else:
+            href = rng.choice(["mailto:a@b.c", "javascript:void(0)", "tel:+1"])
+        cases.append((i, base, href))
+
+    from fog_spark.functions.urlnorm import canonicalize_url, resolve_href
+
+    df = spark.createDataFrame(cases, "i long, base string, href string")
+    got = {
+        r["i"]: r["dst"]
+        for r in df.select(
+            "i",
+            canonicalize_url(
+                resolve_href(F.col("base"), F.col("href"))
+            ).alias("dst"),
+        ).collect()
+    }
+    for i, base, href in cases:
+        want = py_oracle(base, href)
+        assert got[i] == want, (base, href, got[i], want)

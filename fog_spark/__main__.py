@@ -52,6 +52,7 @@ ALGOS = (
     "node2vec",
     "host-pagerank",
     "crawl-frontier",
+    "coreness",
 )
 
 
@@ -219,6 +220,10 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         return spmv(e)
     if args.algo == "kcore":
         return k_core(e, k=args.kcore_k, max_rounds=args.kcore_rounds)
+    if args.algo == "coreness":
+        from fog_spark.algos.kcore import coreness
+
+        return coreness(e, max_rounds=args.kcore_rounds)
     if args.algo == "cc-star":
         from fog_spark.algos.cc_star import star_contraction_components
 

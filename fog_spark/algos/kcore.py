@@ -78,3 +78,76 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 16) -> DataFrame:
     result = M.checkpoint(out)
     M.free(und)
     return result
+
+
+def coreness(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """(id, core) — the FULL k-shell decomposition (every vertex's core
+    number) via the distributed h-index fixpoint (Montresor, De Pellegrini,
+    Miorandi, "Distributed k-core decomposition", 2011): start from the
+    undirected simple degree and repeatedly set
+    est(v) = min(est(v), H({est(u): u ~ v})) where H is the h-index
+    (the largest h with >= h neighbors at est >= h). Estimates are
+    monotone non-increasing, lower-bounded by the true coreness, and
+    equal it at the fixpoint; synchronous rounds make every intermediate
+    state a deterministic function of (graph, round).
+
+    Per round: one join of estimates onto the symmetrized edge list (the
+    edge side is reused each round; only the state shuffles), then the
+    h-index as a row_number window over (dst, est desc) + one hash agg of
+    max(least(est, rn)) — sort-based, spills rather than OOMs on hub
+    vertices, no degree-sized arrays. Rounds are BOUNDED (``max_rounds``
+    part of the contract); convergence (no estimate changed) stops
+    earlier — O(sqrt(|E|))-ish rounds in practice on web graphs.
+    """
+    from pyspark.sql import Window
+
+    M = Materializer(edges.sparkSession)
+    e = G.normalize_edges(edges)
+    und = M.checkpoint(
+        e.where(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    verts = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    sym = M.checkpoint(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("core"))
+    est = M.checkpoint(
+        verts.join(deg, "id", "left").select(
+            "id", F.coalesce(F.col("core"), F.lit(0)).cast("long").alias("core")
+        )
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("nc").desc())
+    for _ in range(max_rounds):
+        msgs = sym.join(est, sym["src"] == est["id"]).select(
+            "dst", F.col("core").alias("nc")
+        )
+        h = (
+            msgs.withColumn("rn", F.row_number().over(w))
+            .groupBy("dst")
+            .agg(F.max(F.least(F.col("nc"), F.col("rn"))).alias("h"))
+        )
+        nxt = est.join(h, est["id"] == h["dst"], "left").select(
+            "id",
+            F.least(
+                F.col("core"), F.coalesce(F.col("h"), F.col("core"))
+            ).alias("core"),
+        )
+        nxt = M.checkpoint(nxt)
+        changed = (
+            nxt.join(est.withColumnRenamed("core", "_old"), "id")
+            .where(F.col("core") != F.col("_old"))
+            .count()
+        )
+        M.free(est)
+        est = nxt
+        if changed == 0:
+            break
+    M.free(und)
+    M.free(sym)
+    return est

@@ -92,3 +92,57 @@ def test_kcore_truncated_bound_matches_oracle(spark):
     }
     want = GX.kcore_oracle(path, 21, k=2, max_rounds=3)
     assert got == want
+
+
+def _py_coreness(pairs):
+    # exact peeling (Batagelj-Zaversnik, O(n^2) toy version)
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set())
+        adj.setdefault(d, set())
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core, k = {}, 0
+    live = set(adj)
+    while live:
+        v = min(live, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        live.discard(v)
+        for u in adj[v]:
+            if u in live:
+                deg[u] -= 1
+    return core
+
+
+@pytest.mark.parametrize("gname", ["chain5", "two_triangles", "star_hub", "selfloop_pair"])
+def test_coreness_matches_peel_oracle(spark, gname):
+    from fog_spark.algos.kcore import coreness
+
+    pairs, _ = GX.ALL_GRAPHS[gname]
+    got = {r["id"]: r["core"] for r in coreness(make_edges_df(spark, pairs)).collect()}
+    assert got == _py_coreness(pairs)
+
+
+def test_coreness_consistent_with_kcore(spark):
+    from fog_spark.algos.kcore import coreness, k_core
+
+    pairs, _ = GX.ALL_GRAPHS["two_triangles"]
+    df = make_edges_df(spark, pairs)
+    core = {r["id"]: r["core"] for r in coreness(df).collect()}
+    for k in (1, 2):
+        in_kcore = {r["id"] for r in k_core(df, k=k).collect()}
+        assert in_kcore == {v for v, c in core.items() if c >= k}
+
+
+def test_coreness_larger_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(60), rng.randrange(60)) for _ in range(400)})
+    from fog_spark.algos.kcore import coreness
+
+    got = {r["id"]: r["core"] for r in coreness(make_edges_df(spark, pairs)).collect()}
+    assert got == _py_coreness(pairs)

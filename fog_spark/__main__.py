@@ -53,6 +53,8 @@ ALGOS = (
     "host-pagerank",
     "crawl-frontier",
     "coreness",
+    "anchor-text",
+    "effective-diameter",
 )
 
 
@@ -68,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="parquet")
     p.add_argument("--weighted", action="store_true",
                    help="edgelist only: parse a third weight column")
+    p.add_argument("--anchor-topk", type=int, default=3,
+                   help="anchor-text: keep the k most frequent anchors per url")
     p.add_argument("--frontier-cap", type=int, default=None,
                    help="crawl-frontier: keep at most this many candidate "
                         "urls per host")
@@ -148,6 +152,15 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
             spark, pages, niters=args.pagerank_niters, resolve=args.resolve_links
         )
 
+    if args.algo == "anchor-text":
+        # pages -> per-target inlink counts + top-k anchor texts
+        from fog_spark.operators.anchortext import anchor_text_rollup
+
+        if args.format != "pages":
+            raise SystemExit("--algo anchor-text requires --format pages")
+        pages = spark.read.parquet(args.edges)
+        return anchor_text_rollup(pages, k=args.anchor_topk)
+
     if args.algo == "crawl-frontier":
         # pages -> (uncrawled url, host, inlink count, host rank):
         # the prioritized fetch queue (operators/crawl.py)
@@ -224,6 +237,13 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         from fog_spark.algos.kcore import coreness
 
         return coreness(e, max_rounds=args.kcore_rounds)
+    if args.algo == "effective-diameter":
+        from fog_spark.algos.hyperball import effective_diameter
+
+        d = effective_diameter(
+            e, q=0.9, m=args.hyperball_m, max_rounds=args.hyperball_rounds
+        )
+        return spark.createDataFrame([(0.9, float(d))], "q double, effective_diameter double")
     if args.algo == "cc-star":
         from fog_spark.algos.cc_star import star_contraction_components
 

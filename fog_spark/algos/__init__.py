@@ -6,14 +6,19 @@ from fog_spark.algos.pagerank import (  # noqa: F401
     WeightedPageRankMilli,
 )
 from fog_spark.algos.components import ConnectedComponents  # noqa: F401
-from fog_spark.algos.kcore import k_core  # noqa: F401
+from fog_spark.algos.kcore import coreness, k_core  # noqa: F401
 from fog_spark.algos.ktruss import k_truss  # noqa: F401
 from fog_spark.algos.lpa import LabelPropagation  # noqa: F401
 from fog_spark.algos.traversal import BFS, SSSP  # noqa: F401
 from fog_spark.algos.mis import maximal_independent_set  # noqa: F401
 from fog_spark.algos.msf import msf, msf_total_weight  # noqa: F401
 from fog_spark.algos.hits import hits_milli  # noqa: F401
-from fog_spark.algos.hyperball import HyperBall, hyperball_sketches  # noqa: F401
+from fog_spark.algos.hyperball import (  # noqa: F401
+    HyperBall,
+    effective_diameter,
+    hyperball_sketches,
+    neighborhood_function,
+)
 from fog_spark.algos.modularity import modularity_plus1_milli, modularity_terms  # noqa: F401
 from fog_spark.algos.msbfs import (  # noqa: F401
     betweenness_sampled,

@@ -6,3 +6,10 @@ from fog_spark.functions.extract import (  # noqa: F401
     assign_dense_ids,
     fixture_page_ids,
 )
+from fog_spark.functions.urlnorm import (  # noqa: F401
+    anchors_col,
+    canonicalize_url,
+    page_links,
+    page_links_udf,
+    resolve_href,
+)

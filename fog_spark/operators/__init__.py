@@ -15,6 +15,14 @@ from fog_spark.operators.text import (  # noqa: F401
     quality_features,
     token_count_col,
 )
+from fog_spark.operators.anchortext import anchor_text_rollup  # noqa: F401
+from fog_spark.operators.hostgraph import (  # noqa: F401
+    host_graph,
+    host_link_counts,
+    host_of,
+    host_pagerank_milli,
+)
+from fog_spark.operators.crawl import crawl_frontier  # noqa: F401
 from fog_spark.operators.node2vec import node2vec_walks  # noqa: F401
 from fog_spark.operators.projection import co_project  # noqa: F401
 from fog_spark.operators.sampling import sample_neighbors  # noqa: F401

@@ -41,6 +41,7 @@ ALGOS = (
     "triangles",
     "spmv",
     "ppr",
+    "trustrank",
     "kcore",
     "stats",
     "wpagerank-milli",
@@ -103,6 +104,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bfs-root", type=int, default=0)
     p.add_argument("--lpa-iters", type=int, default=5)
     p.add_argument("--ppr-seed", type=int, default=0)
+    p.add_argument("--trust-seeds", default="0",
+                   help="trustrank: comma-separated trusted seed vertex ids")
     p.add_argument("--ppr-niters", type=int, default=8)
     p.add_argument("--kcore-k", type=int, default=3)
     p.add_argument("--kcore-rounds", type=int, default=16)
@@ -286,6 +289,12 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         "sssp": lambda: SSSP(source=args.sssp_source),
         "lpa": lambda: LabelPropagation(max_iters=args.lpa_iters),
         "ppr": lambda: PPRMilli(seed=args.ppr_seed, niters=args.ppr_niters),
+        "trustrank": lambda: __import__(
+            "fog_spark.algos.pagerank", fromlist=["TrustRankMilli"]
+        ).TrustRankMilli(
+            seeds=[int(s) for s in args.trust_seeds.split(",")],
+            niters=args.ppr_niters,
+        ),
         "wpagerank-milli": lambda: WeightedPageRankMilli(niters=args.pagerank_niters),
     }[args.algo]()
     kw = {}

@@ -361,3 +361,56 @@ class WeightedPageRankMilli(Algorithm):
 
     def converged(self, iteration: int, stats) -> bool:
         return False
+
+
+class TrustRankMilli(PPRMilli):
+    """TrustRank (Gyongyi, Garcia-Molina, Pedersen, VLDB 2004):
+    personalized PageRank whose teleport vector is a curated SEED SET of
+    trusted vertices instead of one seed — the classic web-spam /
+    crawl-trust signal (host-level seeds in practice). Exact integer
+    generalization of :class:`PPRMilli`: total teleport mass is split
+    evenly, each seed getting ``1_000_000 div k`` initial and
+    ``150_000 div k`` per-iteration mass (div truncation keeps every
+    intermediate a deterministic BIGINT on any engine). Single-seed
+    TrustRank is bit-identical to PPRMilli.
+
+    Seeds are carried as a broadcast literal predicate (``isin``) — the
+    whitelist shape: hand-curated, thousands at most. A DataFrame-sized
+    seed set would want a join instead; out of scope here.
+    """
+
+    def __init__(self, seeds: list[int] | tuple[int, ...] = (0,), niters: int = 8):
+        if not seeds:
+            raise ValueError("seeds must be non-empty")
+        super().__init__(seed=None, niters=niters)
+        self.name = "trustrank_milli"
+        self.seeds = [int(s) for s in seeds]
+        self._k = len(self.seeds)
+
+    def _is_seed(self, col):
+        return col.isin(self.seeds)
+
+    def init_state(self, vertices: DataFrame, adj: DataFrame) -> DataFrame:
+        return vertices.select(
+            "id",
+            F.when(self._is_seed(F.col("id")), F.lit(1_000_000 // self._k))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank_milli"),
+            F.lit(True).alias("_active"),
+        )
+
+    def apply(self, state: DataFrame, gathered: DataFrame) -> DataFrame:
+        boost = F.when(
+            self._is_seed(state["id"]), F.lit(150_000 // self._k)
+        ).otherwise(F.lit(0))
+        return (
+            state.join(gathered, state["id"] == gathered["dst"], "left")
+            .select(
+                state["id"],
+                (F.coalesce(F.col("_sum"), F.lit(0)) + boost)
+                .cast("long")
+                .alias("rank_milli"),
+                F.lit(True).alias("_active"),
+            )
+        )

@@ -146,3 +146,62 @@ def test_coreness_larger_random_graph(spark):
 
     got = {r["id"]: r["core"] for r in coreness(make_edges_df(spark, pairs)).collect()}
     assert got == _py_coreness(pairs)
+
+
+def _py_trustrank(pairs, seeds, niters):
+    # exact integer recurrence replay (self-loops kept, multi-edges kept)
+    from collections import defaultdict
+
+    outs = defaultdict(list)
+    verts = set()
+    for s, d in pairs:
+        outs[s].append(d)
+        verts.update((s, d))
+    k = len(seeds)
+    rank = {v: (1_000_000 // k if v in seeds else 0) for v in verts}
+    for _ in range(niters):
+        inc = defaultdict(int)
+        for u, ds in outs.items():
+            c = (850 * rank[u]) // (1000 * len(ds))
+            for d in ds:
+                inc[d] += c
+        rank = {
+            v: inc.get(v, 0) + (150_000 // k if v in seeds else 0)
+            for v in verts
+        }
+    return rank
+
+
+def test_trustrank_single_seed_equals_ppr(spark):
+    from fog_spark.algos.pagerank import PPRMilli, TrustRankMilli
+
+    pairs, _ = GX.ALL_GRAPHS["two_triangles"]
+    df = make_edges_df(spark, pairs)
+    eng = ScatterGatherEngine(spark, checkpoint_dir=None, collect_lineage=False)
+    a = {r["id"]: r["rank_milli"] for r in eng.run(PPRMilli(seed=0, niters=6), df).state.collect()}
+    b = {r["id"]: r["rank_milli"] for r in eng.run(TrustRankMilli(seeds=[0], niters=6), df).state.collect()}
+    assert a == b
+
+
+@pytest.mark.parametrize("gname,seeds", [("two_triangles", [0, 4]), ("star_hub", [1, 2, 3]), ("chain5", [0])])
+def test_trustrank_matches_exact_recurrence(spark, gname, seeds):
+    from fog_spark.algos.pagerank import TrustRankMilli
+
+    pairs, _ = GX.ALL_GRAPHS[gname]
+    df = make_edges_df(spark, pairs)
+    eng = ScatterGatherEngine(spark, checkpoint_dir=None, collect_lineage=False)
+    got = {r["id"]: r["rank_milli"] for r in eng.run(TrustRankMilli(seeds=seeds, niters=5), df).state.collect()}
+    assert got == _py_trustrank(pairs, set(seeds), 5)
+
+
+def test_trustrank_unreachable_zero(spark):
+    from fog_spark.algos.pagerank import TrustRankMilli
+
+    # two disjoint edges; seed side 0-1, the 2-3 side must score 0
+    df = make_edges_df(spark, [(0, 1), (2, 3)])
+    eng = ScatterGatherEngine(spark, checkpoint_dir=None, collect_lineage=False)
+    got = {r["id"]: r["rank_milli"] for r in eng.run(TrustRankMilli(seeds=[0], niters=4), df).state.collect()}
+    assert got[2] == 0 and got[3] == 0 and got[1] > 0
+
+    with pytest.raises(ValueError):
+        TrustRankMilli(seeds=[])

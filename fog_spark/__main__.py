@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "graph (dense host ids, n_links weights) and run the "
                         "chosen algorithm over it; output ids carry a host "
                         "column")
+    p.add_argument("--collapse-snapshots", action="store_true",
+                   help="pages format: keep only the latest capture per url "
+                        "(by warc_ts) before extraction — the multi-capture "
+                        "crawl-table shape")
     p.add_argument("--resolve-links", action="store_true",
                    help="pages format: resolve relative hrefs against the page "
                         "url, canonicalize (lowercase host, default ports, "
@@ -121,6 +125,15 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _load_pages(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
+    pages = spark.read.parquet(args.edges)
+    if args.collapse_snapshots:
+        from fog_spark.operators.snapshots import latest_snapshots
+
+        pages = latest_snapshots(pages)
+    return pages
+
+
 def load_edges(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
     from fog_spark.sources.edgelist import read_adjlist, read_edgelist, with_hash_weights
 
@@ -133,7 +146,7 @@ def load_edges(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
     else:  # pages: extract outlinks from the html column (north-rule path)
         from fog_spark.functions.extract import edges_from_pages
 
-        pages = spark.read.parquet(args.edges)
+        pages = _load_pages(spark, args)
         return edges_from_pages(
             pages, weighted=args.hash_weights, resolve=args.resolve_links
         )
@@ -150,7 +163,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
 
         if args.format != "pages":
             raise SystemExit("--algo host-pagerank requires --format pages")
-        pages = spark.read.parquet(args.edges)
+        pages = _load_pages(spark, args)
         return host_pagerank_milli(
             spark, pages, niters=args.pagerank_niters, resolve=args.resolve_links
         )
@@ -161,7 +174,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
 
         if args.format != "pages":
             raise SystemExit("--algo anchor-text requires --format pages")
-        pages = spark.read.parquet(args.edges)
+        pages = _load_pages(spark, args)
         return anchor_text_rollup(pages, k=args.anchor_topk)
 
     if args.algo == "crawl-frontier":
@@ -171,7 +184,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
 
         if args.format != "pages":
             raise SystemExit("--algo crawl-frontier requires --format pages")
-        pages = spark.read.parquet(args.edges)
+        pages = _load_pages(spark, args)
         return crawl_frontier(
             pages,
             niters=args.pagerank_niters,
@@ -188,7 +201,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
 
         if args.format != "pages":
             raise SystemExit("--host-rollup requires --format pages")
-        pages = spark.read.parquet(args.edges)
+        pages = _load_pages(spark, args)
         dim, e = host_graph(pages, resolve=args.resolve_links)
     else:
         e = load_edges(spark, args)

@@ -24,6 +24,10 @@ from fog_spark.operators.hostgraph import (  # noqa: F401
 )
 from fog_spark.operators.crawl import crawl_frontier  # noqa: F401
 from fog_spark.operators.node2vec import node2vec_walks  # noqa: F401
+from fog_spark.operators.snapshots import (  # noqa: F401
+    latest_snapshots,
+    page_change_stats,
+)
 from fog_spark.operators.projection import co_project  # noqa: F401
 from fog_spark.operators.sampling import sample_neighbors  # noqa: F401
 from fog_spark.operators.walks import random_walks  # noqa: F401

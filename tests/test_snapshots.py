@@ -1,0 +1,105 @@
+"""Snapshot collapse + change stats (fog_spark.operators.snapshots)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from fog_spark.operators.snapshots import latest_snapshots, page_change_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, _ts(t), h.encode(), x, lg) for u, t, h, x, lg in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+ROWS = [
+    ("https://a.test/1", "2024-01-01T00:00:00", "<h1>v1</h1>", "v1", "en"),
+    ("https://a.test/1", "2024-03-01T00:00:00", "<h1>v2</h1>", "v2", "en"),
+    ("https://a.test/1", "2024-02-01T00:00:00", "<h1>v2</h1>", "v2", "en"),
+    ("https://b.test/2", "2024-01-15T00:00:00", "<p>only</p>", "only", "de"),
+]
+
+
+def test_latest_snapshots_picks_max_ts(spark):
+    out = {r["url"]: r for r in latest_snapshots(_pages(spark, ROWS)).collect()}
+    assert len(out) == 2
+    a = out["https://a.test/1"]
+    assert a["text"] == "v2" and a["warc_ts"] == _ts("2024-03-01T00:00:00")
+    assert bytes(a["html"]) == b"<h1>v2</h1>"
+    b = out["https://b.test/2"]
+    assert b["text"] == "only" and b["lang"] == "de"
+
+
+def test_latest_snapshots_tie_break_deterministic(spark):
+    # same url, same ts, different html: the larger xxhash64(html) wins
+    # under any row order / partitioning
+    rows = [
+        ("https://t.test/x", "2024-01-01T00:00:00", "<a>A</a>", "A", "en"),
+        ("https://t.test/x", "2024-01-01T00:00:00", "<b>B</b>", "B", "en"),
+    ]
+    df = _pages(spark, rows)
+    one = latest_snapshots(df).collect()[0]["text"]
+    two = latest_snapshots(df.orderBy(F.desc("text")).repartition(7)).collect()[0]["text"]
+    assert one == two
+    h = {
+        r["text"]: r["h"]
+        for r in df.select("text", F.xxhash64(F.col("html")).alias("h")).collect()
+    }
+    assert one == max(h, key=lambda t: h[t])
+
+
+def test_change_stats(spark):
+    out = {r["url"]: r for r in page_change_stats(_pages(spark, ROWS)).collect()}
+    a = out["https://a.test/1"]
+    assert a["n_captures"] == 3 and a["n_versions"] == 2
+    assert a["first_ts"] == _ts("2024-01-01T00:00:00")
+    assert a["last_ts"] == _ts("2024-03-01T00:00:00")
+    assert abs(a["change_ratio"] - 0.5) < 1e-12
+    b = out["https://b.test/2"]
+    assert b["n_captures"] == 1 and b["n_versions"] == 1 and b["change_ratio"] == 0.0
+
+
+def test_real_testdata_multi_capture(spark):
+    # three captures per doc from the real documents table; every third
+    # doc changes text on the last capture
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n = d.count()
+    k = F.col("doc_id").cast("long")
+    base = d.select(
+        F.concat(F.lit("https://s.test/p/"), k.cast("string")).alias("url"),
+        k.alias("k"),
+        F.col("text"),
+    )
+    caps = None
+    for i in range(3):
+        txt = (
+            F.when((F.col("k") % 3 == 0) & (F.lit(i) == 2),
+                   F.concat(F.col("text"), F.lit(" CHANGED")))
+            .otherwise(F.col("text"))
+        )
+        c = base.select(
+            "url",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("k") + F.lit(i * 86400)).alias("warc_ts"),
+            F.encode(txt, "UTF-8").alias("html"),
+            txt.alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        caps = c if caps is None else caps.unionByName(c)
+    latest = latest_snapshots(caps)
+    assert latest.count() == n
+    changed = latest.where(F.col("text").endswith("CHANGED")).count()
+    assert changed == (n + 2) // 3
+    stats = page_change_stats(caps)
+    agg = stats.agg(
+        F.sum("n_captures").alias("tot"),
+        F.count_if(F.col("n_versions") == 2).alias("two_v"),
+    ).collect()[0]
+    assert agg["tot"] == 3 * n and agg["two_v"] == (n + 2) // 3

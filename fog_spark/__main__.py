@@ -225,6 +225,7 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         LabelPropagation,
         PPRMilli,
         StandardPageRank,
+        TrustRankMilli,
         WeightedPageRankMilli,
         k_core,
         msf,
@@ -302,9 +303,7 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         "sssp": lambda: SSSP(source=args.sssp_source),
         "lpa": lambda: LabelPropagation(max_iters=args.lpa_iters),
         "ppr": lambda: PPRMilli(seed=args.ppr_seed, niters=args.ppr_niters),
-        "trustrank": lambda: __import__(
-            "fog_spark.algos.pagerank", fromlist=["TrustRankMilli"]
-        ).TrustRankMilli(
+        "trustrank": lambda: TrustRankMilli(
             seeds=[int(s) for s in args.trust_seeds.split(",")],
             niters=args.ppr_niters,
         ),

@@ -4,6 +4,7 @@ from fog_spark.algos.pagerank import (  # noqa: F401
     PPRMilli,
     StandardPageRank,
     WeightedPageRankMilli,
+    TrustRankMilli,
 )
 from fog_spark.algos.components import ConnectedComponents  # noqa: F401
 from fog_spark.algos.kcore import coreness, k_core  # noqa: F401

@@ -384,7 +384,10 @@ class TrustRankMilli(PPRMilli):
             raise ValueError("seeds must be non-empty")
         super().__init__(seed=None, niters=niters)
         self.name = "trustrank_milli"
-        self.seeds = [int(s) for s in seeds]
+        # dedupe, order-preserving: isin() matches a vertex once however
+        # often it is listed, so duplicates would silently shrink the
+        # total teleport mass below the documented 1_000_000
+        self.seeds = list(dict.fromkeys(int(s) for s in seeds))
         self._k = len(self.seeds)
 
     def _is_seed(self, col):

@@ -48,10 +48,15 @@ _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*):"
 _ROOT_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
 
 # dot-segment rewrites, applied _DOT_ROUNDS times (bounded loop — a
-# Column expression cannot iterate to fixpoint)
+# Column expression cannot iterate to fixpoint) to the PATH only; the
+# query string is split off first so "?next=/a/../b" stays untouched
 _DOT_ROUNDS = 4
-_DOT_SLASH = r"/\.(?=/|$|\?)"          # "/./" or trailing "/."
-_UP_SEG = r"/(?!\.\./)[^/?]+/\.\.(?=/|$|\?)"  # "/seg/../" (seg != "..")
+_DOT_SLASH = r"/\.(?=/|$)"             # "/./" or trailing "/."
+_UP_SEG = r"/(?!\.\./)[^/]+/\.\.(?=/|$)"  # "/seg/../" (seg != "..")
+# ASCII whitespace, identical on the JVM (Java \s is ASCII-only) and in
+# the pandas twin (which must NOT use .str.strip(): Python strips
+# Unicode whitespace, Java does not)
+_WS_EDGES = r"^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$"
 
 
 def anchors_col(html: Column) -> Column:
@@ -72,7 +77,7 @@ def anchors_col(html: Column) -> Column:
 def resolve_href(base: Column, href: Column) -> Column:
     """Absolute (un-canonicalized) URL of ``href`` seen on page ``base``,
     or NULL for dropped links (fragment-only, empty, non-http scheme)."""
-    h = F.trim(href)
+    h = F.regexp_replace(href, _WS_EDGES, "")
     scheme = F.regexp_extract(h, _SCHEME_RE, 1)
     base_scheme = F.regexp_extract(base, _SCHEME_RE, 1)
     base_root = F.regexp_extract(base, _ROOT_RE, 1)
@@ -114,13 +119,16 @@ def canonicalize_url(url: Column) -> Column:
         F.regexp_replace(hostport, r":443$", ""),
     ).otherwise(hostport)
     rest = F.regexp_replace(u, r"^[^:]+://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_replace(rest, r"^[^?]*", "")
     for _ in range(_DOT_ROUNDS):
-        rest = F.regexp_replace(rest, _DOT_SLASH, "")
-        rest = F.regexp_replace(rest, _UP_SEG, "")
+        path = F.regexp_replace(path, _DOT_SLASH, "")
+        path = F.regexp_replace(path, _UP_SEG, "")
     # "/../" left at the root escapes it: clamp (browser behavior)
     for _ in range(_DOT_ROUNDS):
-        rest = F.regexp_replace(rest, r"^/\.\.(?=/|$|\?)", "")
-    rest = F.when(rest.startswith("/"), rest).otherwise(F.concat(F.lit("/"), rest))
+        path = F.regexp_replace(path, r"^/\.\.(?=/|$)", "")
+    path = F.when(path.startswith("/"), path).otherwise(F.concat(F.lit("/"), path))
+    rest = F.concat(path, query)
     return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(
         F.concat(scheme, F.lit("://"), host, rest)
     )
@@ -184,7 +192,11 @@ def page_links_udf(pages: DataFrame) -> DataFrame:
                 }
             )
             a = flat["a"].astype("string")
-            href = a.str.extract(_HREF_IN_A, expand=False).fillna("").str.strip()
+            href = (
+                a.str.extract(_HREF_IN_A, expand=False)
+                .fillna("")
+                .str.replace(_WS_EDGES, "", regex=True)
+            )
             anchor = a.str.extract(_TEXT_IN_A, expand=False).fillna("")
             nofollow = a.str.contains(_NOFOLLOW_IN_A, regex=True).fillna(False)
             base = flat["url"].astype("string")
@@ -223,13 +235,15 @@ def page_links_udf(pages: DataFrame) -> DataFrame:
                 (r_scheme == "https") & hostport.str.endswith(":443"), hostport
             )
             rest = u.str.replace(r"^[^:]+://[^/?#]*", "", regex=True)
+            path = rest.str.extract(r"^([^?]*)", expand=False)
+            query = rest.str.replace(r"^[^?]*", "", regex=True)
             for _ in range(_DOT_ROUNDS):
-                rest = rest.str.replace(_DOT_SLASH, "", regex=True)
-                rest = rest.str.replace(_UP_SEG, "", regex=True)
+                path = path.str.replace(_DOT_SLASH, "", regex=True)
+                path = path.str.replace(_UP_SEG, "", regex=True)
             for _ in range(_DOT_ROUNDS):
-                rest = rest.str.replace(r"^/\.\.(?=/|$|\?)", "", regex=True)
-            rest = rest.where(rest.str.startswith("/"), "/" + rest)
-            dst = r_scheme + "://" + hostport + rest
+                path = path.str.replace(r"^/\.\.(?=/|$)", "", regex=True)
+            path = path.where(path.str.startswith("/"), "/" + path)
+            dst = r_scheme + "://" + hostport + path + query
             out = pd.DataFrame(
                 {
                     "url": flat["url"],

@@ -48,10 +48,20 @@ def crawl_frontier(
             "url",
             F.explode(extract_outlinks_col(F.col("html"))).alias("dst_url"),
         )
-    candidates = (
-        links.join(
-            pages.select(F.col("url").alias("dst_url")), "dst_url", "left_anti"
+    # the crawled-url side must live in the same namespace as the
+    # (canonicalized) link targets, or already-crawled pages whose
+    # stored spelling differs (uppercase host, explicit default port)
+    # re-enter the frontier
+    if resolve:
+        from fog_spark.functions.urlnorm import canonicalize_url
+
+        crawled = pages.select(
+            canonicalize_url(F.col("url")).alias("dst_url")
         )
+    else:
+        crawled = pages.select(F.col("url").alias("dst_url"))
+    candidates = (
+        links.join(crawled, "dst_url", "left_anti")
         .groupBy("dst_url")
         .agg(F.count("*").alias("n_refs"))
         .withColumn("host", host_of(F.col("dst_url")))

@@ -24,14 +24,17 @@ _PAYLOAD = ("warc_ts", "html", "text", "lang")
 def latest_snapshots(pages: DataFrame) -> DataFrame:
     """One row per url: the latest capture by ``warc_ts``; exact-tie
     captures (same url, same timestamp) break deterministically by the
-    larger xxhash64 of the html bytes, so the result is a pure function
-    of the table contents under any partitioning."""
+    larger xxhash64 of the html bytes (or of text when the table has no
+    html column), so the result is a pure function of the table
+    contents under any partitioning."""
     cols = [c for c in _PAYLOAD if c in pages.columns]
+    tie = [F.col("warc_ts")]
+    if "html" in pages.columns:
+        tie.append(F.xxhash64(F.col("html")))
+    elif "text" in pages.columns:
+        tie.append(F.xxhash64(F.col("text")))
     picked = pages.groupBy("url").agg(
-        F.max_by(
-            F.struct(*cols),
-            F.struct(F.col("warc_ts"), F.xxhash64(F.col("html"))),
-        ).alias("_s")
+        F.max_by(F.struct(*cols), F.struct(*tie)).alias("_s")
     )
     return picked.select("url", *[F.col(f"_s.{c}").alias(c) for c in cols])
 
@@ -43,13 +46,16 @@ def page_change_stats(pages: DataFrame) -> DataFrame:
     ``change_ratio = (n_versions - 1) / greatest(n_captures - 1, 1)`` —
     0.0 for a page that never changed across captures, 1.0 for one that
     changed every time. Single-capture urls get ratio 0.0."""
+    # NULL text (failed extraction) counts as its own version: coalesce
+    # before hashing, or count_distinct drops the rows and the ratio
+    # can go negative on all-NULL histories
+    vh = F.md5(F.coalesce(F.col("text"), F.lit("\0null\0")).cast("binary"))
     return pages.groupBy("url").agg(
         F.count("*").alias("n_captures"),
-        F.count_distinct(F.md5(F.col("text").cast("binary"))).alias("n_versions"),
+        F.count_distinct(vh).alias("n_versions"),
         F.min("warc_ts").alias("first_ts"),
         F.max("warc_ts").alias("last_ts"),
         (
-            (F.count_distinct(F.md5(F.col("text").cast("binary"))) - 1)
-            / F.greatest(F.count("*") - 1, F.lit(1))
+            (F.count_distinct(vh) - 1) / F.greatest(F.count("*") - 1, F.lit(1))
         ).alias("change_ratio"),
     )

@@ -79,3 +79,20 @@ def test_frontier_real_testdata(spark):
     assert {r["host"] for r in out} == {"ext0.test", "ext1.test", "ext2.test"}
     assert len(out) == 150
     assert sum(r["n_refs"] for r in out) == d.count()
+
+
+def test_frontier_canonicalizes_crawled_side(spark):
+    # a crawled page stored with a non-canonical spelling must not
+    # re-enter the frontier when links to it canonicalize differently
+    rows = [
+        (
+            "https://Host.test:443/x",
+            '<html><body><a href="https://other.test/new">n</a></body></html>',
+        ),
+        (
+            "https://other.test/seed",
+            '<html><body><a href="https://host.test/x">back</a></body></html>',
+        ),
+    ]
+    out = {r["dst_url"] for r in crawl_frontier(_pages(spark, rows), niters=2).collect()}
+    assert out == {"https://other.test/new"}

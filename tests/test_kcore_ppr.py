@@ -205,3 +205,14 @@ def test_trustrank_unreachable_zero(spark):
 
     with pytest.raises(ValueError):
         TrustRankMilli(seeds=[])
+
+
+def test_trustrank_duplicate_seeds_deduped(spark):
+    from fog_spark.algos.pagerank import TrustRankMilli
+
+    pairs, _ = GX.ALL_GRAPHS["two_triangles"]
+    df = make_edges_df(spark, pairs)
+    eng = ScatterGatherEngine(spark, checkpoint_dir=None, collect_lineage=False)
+    a = {r["id"]: r["rank_milli"] for r in eng.run(TrustRankMilli(seeds=[0, 4], niters=4), df).state.collect()}
+    b = {r["id"]: r["rank_milli"] for r in eng.run(TrustRankMilli(seeds=[0, 4, 0, 4], niters=4), df).state.collect()}
+    assert a == b

@@ -103,3 +103,28 @@ def test_real_testdata_multi_capture(spark):
         F.count_if(F.col("n_versions") == 2).alias("two_v"),
     ).collect()[0]
     assert agg["tot"] == 3 * n and agg["two_v"] == (n + 2) // 3
+
+
+def test_change_stats_null_text(spark):
+    rows = [
+        ("https://n.test/1", _ts("2024-01-01T00:00:00"), None, None, "en"),
+        ("https://n.test/1", _ts("2024-02-01T00:00:00"), None, None, "en"),
+        ("https://n.test/1", _ts("2024-03-01T00:00:00"), None, "now", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    s = page_change_stats(df).collect()[0]
+    # two NULL captures + one real -> 2 versions, ratio within [0, 1]
+    assert s["n_captures"] == 3 and s["n_versions"] == 2
+    assert 0.0 <= s["change_ratio"] <= 1.0
+
+
+def test_latest_snapshots_without_html_column(spark):
+    df = spark.createDataFrame(
+        [("https://u.test/1", _ts("2024-01-01T00:00:00"), "a"),
+         ("https://u.test/1", _ts("2024-02-01T00:00:00"), "b")],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = latest_snapshots(df).collect()
+    assert len(out) == 1 and out[0]["text"] == "b"

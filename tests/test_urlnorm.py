@@ -215,3 +215,40 @@ def test_resolution_matches_stdlib_urljoin(spark):
     for i, base, href in cases:
         want = py_oracle(base, href)
         assert got[i] == want, (base, href, got[i], want)
+
+
+def test_query_string_survives_canonicalization(spark):
+    # dot-segment removal must not rewrite path-like QUERY contents
+    from fog_spark.functions.urlnorm import canonicalize_url
+
+    urls = [
+        ("https://h.test/r?next=/a/../b",),
+        ("https://h.test/a/../r?next=/a/../b",),
+        ("https://h.test/x/./y?p=/./q",),
+    ]
+    df = spark.createDataFrame(urls, "u string")
+    got = [r["c"] for r in df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
+    assert got == [
+        "https://h.test/r?next=/a/../b",
+        "https://h.test/r?next=/a/../b",
+        "https://h.test/x/y?p=/./q",
+    ]
+
+
+def test_whitespace_hrefs_native_equals_twin(spark):
+    # newline/tab-wrapped hrefs (common in real HTML) must behave the
+    # same in both paths: ASCII-whitespace-trimmed, then classified
+    pages = _pages(
+        spark,
+        [
+            (
+                "https://h.test/a/b",
+                '<html><body><a href="\n/x">n</a><a href="\t../y">t</a>'
+                '<a href=" \n ">blank</a></body></html>',
+            )
+        ],
+    )
+    native = sorted(tuple(r) for r in page_links(pages).collect())
+    twin = sorted(tuple(r) for r in page_links_udf(pages).collect())
+    assert native == twin
+    assert [r[1] for r in native] == ["https://h.test/x", "https://h.test/y"]

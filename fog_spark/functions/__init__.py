@@ -12,4 +12,5 @@ from fog_spark.functions.urlnorm import (  # noqa: F401
     page_links,
     page_links_udf,
     resolve_href,
+    strip_tracking_params,
 )

@@ -255,3 +255,22 @@ def page_links_udf(pages: DataFrame) -> DataFrame:
             yield out[out["dst_url"].notna()]
 
     return pages.select("url", "html").mapInPandas(batches, schema)
+
+
+def strip_tracking_params(
+    url: Column, prefixes: tuple[str, ...] = ("utm_", "fbclid", "gclid", "mc_")
+) -> Column:
+    """Remove tracking query parameters (by key prefix) from a canonical
+    URL — the standard extra dedup step on crawl URLs, where the same
+    document is linked under utm_/click-id decorated spellings. Pure
+    Column expression: one regexp_replace per prefix plus separator
+    cleanup, preserving the order of surviving params; a query left
+    empty is dropped entirely. Anchored on '?' / '&' so a legitimate
+    param merely *containing* a prefix is untouched."""
+    u = url
+    for p in prefixes:
+        # strip "key=value" (and a trailing "&") when key starts with p
+        u = F.regexp_replace(u, rf"(?<=[?&]){p}[^&#=]*=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"&$", "")  # dangling separator
+    u = F.regexp_replace(u, r"\?$", "")  # emptied query
+    return u

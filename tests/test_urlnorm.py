@@ -252,3 +252,21 @@ def test_whitespace_hrefs_native_equals_twin(spark):
     twin = sorted(tuple(r) for r in page_links_udf(pages).collect())
     assert native == twin
     assert [r[1] for r in native] == ["https://h.test/x", "https://h.test/y"]
+
+
+def test_strip_tracking_params(spark):
+    from fog_spark.functions.urlnorm import strip_tracking_params
+
+    cases = [
+        ("https://h.test/p?utm_source=x&id=3", "https://h.test/p?id=3"),
+        ("https://h.test/p?id=3&utm_source=x", "https://h.test/p?id=3"),
+        ("https://h.test/p?utm_a=1&utm_b=2", "https://h.test/p"),
+        ("https://h.test/p?fbclid=abc", "https://h.test/p"),
+        ("https://h.test/p?xutm_a=1", "https://h.test/p?xutm_a=1"),
+        ("https://h.test/p", "https://h.test/p"),
+        ("https://h.test/p?gclid=1&a=2&mc_eid=3&b=4", "https://h.test/p?a=2&b=4"),
+    ]
+    df = spark.createDataFrame(cases, "u string, want string")
+    got = df.select(strip_tracking_params(F.col("u")).alias("g"), "want").collect()
+    for r in got:
+        assert r["g"] == r["want"], (r["g"], r["want"])

@@ -22,7 +22,11 @@ from fog_spark.operators.hostgraph import (  # noqa: F401
     host_of,
     host_pagerank_milli,
 )
-from fog_spark.operators.crawl import crawl_frontier  # noqa: F401
+from fog_spark.operators.crawl import (  # noqa: F401
+    crawl_frontier,
+    trap_candidates,
+    url_template,
+)
 from fog_spark.operators.node2vec import node2vec_walks  # noqa: F401
 from fog_spark.operators.snapshots import (  # noqa: F401
     latest_snapshots,

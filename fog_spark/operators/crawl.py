@@ -17,7 +17,7 @@ window over rows already reduced to one per candidate URL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fog_spark.functions.urlnorm import page_links
@@ -93,3 +93,39 @@ def crawl_frontier(
             .drop("_rn")
         )
     return out
+
+
+def url_template(url: Column) -> Column:
+    """Structural template of a canonical URL: host + path/query shape
+    with digit runs collapsed to 'N', long (8+) hex runs to 'H', and
+    query VALUES dropped (keys kept). Pages generated from one route
+    ('/post/123', '/post/124', ...) share a template."""
+    t = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    t = F.regexp_replace(t, r"(?<==)[^&#]*", "")      # query values
+    t = F.regexp_replace(t, r"[0-9a-fA-F]{8,}", "H")  # hex/uuid-ish runs
+    t = F.regexp_replace(t, r"[0-9]+", "N")
+    return t
+
+
+def trap_candidates(
+    candidate_urls: DataFrame,
+    url_col: str = "dst_url",
+    min_urls: int = 1000,
+) -> DataFrame:
+    """(template, n_urls, sample_url) for URL templates whose DISTINCT
+    candidate count exceeds ``min_urls`` — the crawler-trap signal
+    (calendar pages, session ids, faceted search: one route generating
+    an unbounded URL space). Feed it the frontier (or any url column)
+    and subtract matching templates from the fetch queue.
+
+    One hash aggregation keyed by (template, url) for the exact distinct
+    count, then one by template — both map-side combinable; sample_url =
+    min(url) keeps the output deterministic."""
+    u = F.col(url_col)
+    per = (
+        candidate_urls.select(url_template(u).alias("template"), u.alias("_u"))
+        .distinct()
+        .groupBy("template")
+        .agg(F.count("*").alias("n_urls"), F.min("_u").alias("sample_url"))
+    )
+    return per.where(F.col("n_urls") >= min_urls)

@@ -96,3 +96,26 @@ def test_frontier_canonicalizes_crawled_side(spark):
     ]
     out = {r["dst_url"] for r in crawl_frontier(_pages(spark, rows), niters=2).collect()}
     assert out == {"https://other.test/new"}
+
+
+def test_url_template_and_trap_candidates(spark):
+    from fog_spark.operators.crawl import trap_candidates, url_template
+
+    urls = (
+        [f"https://cal.test/day/2024/{i}?sess=abc{i}" for i in range(50)]
+        + [f"https://ok.test/about/{w}" for w in ("team", "jobs", "press")]
+        + ["https://hex.test/id/deadbeefcafe1234"]
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "dst_url string")
+    t = {
+        r["dst_url"]: r["t"]
+        for r in df.select("dst_url", url_template(F.col("dst_url")).alias("t")).collect()
+    }
+    assert t["https://cal.test/day/2024/7?sess=abc7"] == "cal.test/day/N/N?sess="
+    assert t["https://ok.test/about/team"] == "ok.test/about/team"
+    assert t["https://hex.test/id/deadbeefcafe1234"] == "hex.test/id/H"
+    traps = trap_candidates(df, min_urls=10).collect()
+    assert len(traps) == 1
+    assert traps[0]["template"] == "cal.test/day/N/N?sess="
+    assert traps[0]["n_urls"] == 50
+    assert traps[0]["sample_url"] == "https://cal.test/day/2024/0?sess=abc0"

@@ -266,7 +266,11 @@ def neighborhood_function(
     eng = engine or ScatterGatherEngine(
         edges.sparkSession, checkpoint_dir=None, collect_lineage=False
     )
-    eng.run(algo, edges)
+    res = eng.run(algo, edges)
+    # only the driver-side nf_history is needed; free the checkpointed
+    # per-vertex register state or every call leaks an m-registers-per-
+    # vertex cache for the session lifetime
+    eng.mat.free(res.state)
     out: list[tuple[int, float]] = []
     last = 0.0
     for r in range(rounds + 1):

@@ -31,11 +31,14 @@ def crawl_frontier(
     resolve: bool = True,
 ) -> DataFrame:
     """(dst_url, host, n_refs, host_rank_milli) for every kept link
-    target absent from the crawl, ordered for consumption by
-    (host_rank_milli desc, n_refs desc, dst_url asc) — deterministic.
-    ``per_host_cap`` keeps only the top-k candidates per host under
-    that same order. ``resolve=False`` trusts hrefs to be absolute and
-    canonical (fixture pages); real HTML wants the default."""
+    target absent from the crawl. The priority order is
+    (host_rank_milli desc, n_refs desc, dst_url asc); ``per_host_cap``
+    keeps only the top-k candidates per host under that order, but the
+    RETURNED frame is in shuffle order — a consumer taking the global
+    top-N must apply that orderBy itself (a full sort of the frontier
+    is deliberately not forced on callers who write or cap it instead).
+    ``resolve=False`` trusts hrefs to be absolute and canonical
+    (fixture pages); real HTML wants the default."""
     from fog_spark.algos import WeightedPageRankMilli
     from fog_spark.plans.engine import ScatterGatherEngine
 
@@ -69,12 +72,23 @@ def crawl_frontier(
     # host ranks from the same pages table (one extraction pass of its
     # own inside host_graph; callers holding a pre-built host graph can
     # inline this composition themselves)
-    dim, edges = host_graph(pages, resolve=resolve)
+    from fog_spark.plans.materialize import Materializer
+
+    M = Materializer(pages.sparkSession)
+    dim, edges = host_graph(pages, resolve=resolve, materializer=M)
     eng = ScatterGatherEngine(pages.sparkSession, checkpoint_dir=None, collect_lineage=False)
-    ranks = eng.run(WeightedPageRankMilli(niters=niters), edges).state
-    host_rank = dim.join(ranks, dim["id"] == ranks["id"]).select(
-        "host", "rank_milli"
+    res = eng.run(WeightedPageRankMilli(niters=niters), edges)
+    # host_rank is host-sized: checkpoint it eagerly so the engine state
+    # and the link-count cache can be reclaimed NOW — the returned
+    # frontier frame is lazy (crawl-sized; callers cap/write it) and must
+    # not depend on freed blocks
+    host_rank = M.checkpoint(
+        dim.join(res.state, dim["id"] == res.state["id"]).select(
+            "host", "rank_milli"
+        )
     )
+    eng.mat.free(res.state)
+    M.free(edges)
     out = candidates.join(F.broadcast(host_rank), "host", "left").select(
         "dst_url",
         "host",
@@ -96,15 +110,19 @@ def crawl_frontier(
 
 
 def url_template(url: Column) -> Column:
-    """Structural template of a canonical URL: host + path/query shape
-    with digit runs collapsed to 'N', long (8+) hex runs to 'H', and
-    query VALUES dropped (keys kept). Pages generated from one route
-    ('/post/123', '/post/124', ...) share a template."""
-    t = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    t = F.regexp_replace(t, r"(?<==)[^&#]*", "")      # query values
-    t = F.regexp_replace(t, r"[0-9a-fA-F]{8,}", "H")  # hex/uuid-ish runs
+    """Structural template of a canonical URL: the host VERBATIM plus
+    the path/query shape with digit runs collapsed to 'N', long (8+)
+    hex runs to 'H', and query VALUES dropped (keys kept). Pages
+    generated from one route ('/post/123', '/post/124', ...) share a
+    template; numbered HOSTS (cdn1/cdn2 mirror shards) deliberately do
+    NOT merge — a trap verdict must stay per-host, or subtracting a
+    flagged template drops every numbered mirror's content at once."""
+    hostless = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    host = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    t = F.regexp_replace(hostless, r"(?<==)[^&#]*", "")  # query values
+    t = F.regexp_replace(t, r"[0-9a-fA-F]{8,}", "H")     # hex/uuid-ish runs
     t = F.regexp_replace(t, r"[0-9]+", "N")
-    return t
+    return F.concat(host, t)
 
 
 def trap_candidates(
@@ -112,8 +130,8 @@ def trap_candidates(
     url_col: str = "dst_url",
     min_urls: int = 1000,
 ) -> DataFrame:
-    """(template, n_urls, sample_url) for URL templates whose DISTINCT
-    candidate count exceeds ``min_urls`` — the crawler-trap signal
+    """(template, n_urls, sample_url) for URL templates with at least
+    ``min_urls`` DISTINCT candidates — the crawler-trap signal
     (calendar pages, session ids, faceted search: one route generating
     an unbounded URL space). Feed it the frontier (or any url column)
     and subtract matching templates from the fetch queue.

@@ -63,17 +63,30 @@ def host_link_counts(pages: DataFrame, resolve: bool = False) -> DataFrame:
 
 
 def host_graph(
-    pages: DataFrame, resolve: bool = False
+    pages: DataFrame, resolve: bool = False, materializer=None
 ) -> tuple[DataFrame, DataFrame]:
     """(host_dim, edges): dense-id host dimension ``(host, id)`` and a
     weighted edge table ``(src, dst, weight=n_links)`` ready for any
-    fog_spark algorithm (engine, cc_star, walks, ...)."""
+    fog_spark algorithm (engine, cc_star, walks, ...).
+
+    ``materializer``: a plans.materialize.Materializer. When given, the
+    internal link-count cache is an eager checkpoint whose blocks the
+    caller reclaims with ``materializer.free(edges)`` (the edge frame is
+    tagged as the owner) once every consumer has materialized —
+    host_pagerank_milli / crawl_frontier do this. When omitted the cache
+    is a plain ``persist`` that lives until the session ends (fine for
+    one-shot CLI runs; repeated library calls should pass a
+    materializer)."""
     # counts is consumed three times (two host-union scans + the edge
-    # join); persist it or each consumer re-runs the whole extraction
+    # join); cache it or each consumer re-runs the whole extraction
     # lineage — with resolve=True that lineage is ~10x the raw scan
     # (measured 107 s vs 21 s at 1M docs). The aggregated multigraph is
     # tiny (distinct host pairs), so the cache is cheap.
-    counts = host_link_counts(pages, resolve=resolve).persist()
+    counts = host_link_counts(pages, resolve=resolve)
+    counts = (
+        materializer.checkpoint(counts) if materializer is not None
+        else counts.persist()
+    )
     hosts = (
         counts.select(F.col("src_host").alias("host"))
         .union(counts.select(F.col("dst_host").alias("host")))
@@ -91,6 +104,8 @@ def host_graph(
         )
         .select("src", "dst", F.col("n_links").cast("double").alias("weight"))
     )
+    if materializer is not None:
+        edges = materializer.adopt(edges, counts)
     return dim, edges
 
 
@@ -103,11 +118,19 @@ def host_pagerank_milli(
     are bit-stable across partitionings."""
     from fog_spark.algos import WeightedPageRankMilli
     from fog_spark.plans.engine import ScatterGatherEngine
+    from fog_spark.plans.materialize import Materializer
 
-    dim, edges = host_graph(pages, resolve=resolve)
+    M = Materializer(spark)
+    dim, edges = host_graph(pages, resolve=resolve, materializer=M)
     eng = ScatterGatherEngine(spark, checkpoint_dir=None, collect_lineage=False)
     res = eng.run(WeightedPageRankMilli(niters=niters), edges)
-    return (
+    # materialize the host-sized result eagerly, then reclaim every
+    # intermediate cache (engine state + link-count checkpoint) — callers
+    # keep only one small frame instead of a per-call cache leak
+    out = M.checkpoint(
         res.state.join(F.broadcast(dim), res.state["id"] == dim["id"])
         .select("host", "rank_milli")
     )
+    eng.mat.free(res.state)
+    M.free(edges)
+    return out

@@ -294,6 +294,22 @@ class ScatterGatherEngine:
         resume: bool,
         vertices: DataFrame | None,
     ) -> RunResult:
+        # resume check FIRST: a run whose checkpoint is already converged
+        # must short-circuit before the adjacency build (the collect_list
+        # shuffle — the most expensive setup job — is eagerly materialized
+        # in _prepare_adjacency and would be paid for nothing)
+        resumed = None
+        if resume and self.store is not None:
+            latest = self.store.latest_complete(run_id, algo.name)
+            if latest is not None:
+                meta = self.store.read_meta(run_id, algo.name, latest)
+                if meta.get("converged"):
+                    state = self.store.read_state(run_id, algo.name, latest)
+                    return RunResult(
+                        state, run_id, latest, True, meta.get("history", [])
+                    )
+                resumed = (latest, meta)
+
         adj, hub_salts = self._prepare_adjacency(algo, edges)
         # static per-partition edge counts (the lineage edge_count field —
         # FOG's per-strip edge metric): one job, reused every iteration
@@ -314,18 +330,11 @@ class ScatterGatherEngine:
         start_iter = 1
         state = None
 
-        if resume and self.store is not None:
-            latest = self.store.latest_complete(run_id, algo.name)
-            if latest is not None:
-                meta = self.store.read_meta(run_id, algo.name, latest)
-                state = self.store.read_state(run_id, algo.name, latest)
-                history = meta.get("history", [])
-                if meta.get("converged"):
-                    adj.unpersist()
-                    if hub_salts is not None:
-                        self.mat.free(hub_salts)
-                    return RunResult(state, run_id, latest, True, history)
-                start_iter = latest + 1
+        if resumed is not None:
+            latest, meta = resumed
+            state = self.store.read_state(run_id, algo.name, latest)
+            history = meta.get("history", [])
+            start_iter = latest + 1
 
         if state is None:
             state = algo.init_state(vertices, adj)

@@ -1,1 +1,6 @@
-from fog_spark.streaming.ingest import stream_edges_from_pages, streaming_degrees  # noqa: F401
+from fog_spark.streaming.ingest import (  # noqa: F401
+    stream_edges_from_pages,
+    streaming_degrees,
+    streaming_host_link_counts,
+    streaming_host_link_windows,
+)

@@ -119,3 +119,18 @@ def test_url_template_and_trap_candidates(spark):
     assert traps[0]["template"] == "cal.test/day/N/N?sess="
     assert traps[0]["n_urls"] == 50
     assert traps[0]["sample_url"] == "https://cal.test/day/2024/0?sess=abc0"
+
+
+def test_url_template_keeps_numbered_hosts_distinct(spark):
+    # cdn1/cdn2 mirror shards must NOT merge into one template — a trap
+    # verdict is per-host or subtracting it drops every mirror at once
+    from fog_spark.operators.crawl import url_template
+
+    df = spark.createDataFrame(
+        [("https://cdn1.test/img/42.jpg",), ("https://cdn2.test/img/42.jpg",)],
+        "dst_url string",
+    )
+    t = sorted(
+        r["t"] for r in df.select(url_template(F.col("dst_url")).alias("t")).collect()
+    )
+    assert t == ["cdn1.test/img/N.jpg", "cdn2.test/img/N.jpg"]

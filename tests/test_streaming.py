@@ -118,3 +118,28 @@ def test_streaming_host_link_counts_match_batch(spark, tmp_path):
     }
     assert got == want
     pages.unpersist()
+
+
+def test_streaming_host_link_windows(spark, tmp_path):
+    # windowed variant: watermark is real here (event-time-keyed state);
+    # counts per (window, pair) must sum to the global rollup
+    from fog_spark.streaming.ingest import streaming_host_link_windows
+
+    pages_dir = str(tmp_path / "pages_w")
+    generate_pages(spark, 120).write.parquet(pages_dir)
+    win = streaming_host_link_windows(spark, pages_dir, window="1 hour")
+    q = (
+        win.writeStream.format("memory")
+        .queryName("host_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from host_windows").collect()
+    assert rows
+    assert all(r["window"] is not None and r["n_links"] > 0 for r in rows)
+    total = sum(r["n_links"] for r in rows)
+    from fog_spark.operators.hostgraph import host_link_counts
+    batch = host_link_counts(spark.read.parquet(pages_dir))
+    assert total == batch.agg(F.sum("n_links")).collect()[0][0]

@@ -479,6 +479,74 @@ def _hits_sql(iters: int) -> str:
     )
 
 
+def _hits_salsa_sql(iters: int) -> str:
+    """Unrolled integer-milli HITS + SALSA in one statement — mirrors
+    hits_milli JOIN salsa_milli (per-edge `//` degree normalization for
+    SALSA, raw sums for HITS; both max-normalized; multi-edges count)."""
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES})",
+        f"v AS MATERIALIZED ({VERTS})",
+        "od AS MATERIALIZED (SELECT src AS id, COUNT(*) AS od FROM e GROUP BY src)",
+        "ind AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS ind FROM e GROUP BY dst)",
+        "h0 AS MATERIALIZED (SELECT id, CAST(1000 AS BIGINT) AS s FROM v)",
+        "sh0 AS MATERIALIZED (SELECT id, CAST(1000 AS BIGINT) AS s FROM v)",
+    ]
+    for t in range(1, iters + 1):
+        # HITS half-steps (raw sums)
+        ctes.append(
+            f"ar{t} AS MATERIALIZED (SELECT v.id, COALESCE(x.s, 0) AS s FROM v "
+            f"LEFT JOIN (SELECT e.dst AS id, SUM(h.s) AS s FROM e "
+            f"JOIN h{t-1} h ON h.id = e.src GROUP BY e.dst) x ON x.id = v.id)"
+        )
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT id, CAST(CASE WHEN mx > 0 THEN "
+            f"(s * 1000) // mx ELSE 0 END AS BIGINT) AS s "
+            f"FROM ar{t}, (SELECT MAX(s) AS mx FROM ar{t}))"
+        )
+        ctes.append(
+            f"hr{t} AS MATERIALIZED (SELECT v.id, COALESCE(x.s, 0) AS s FROM v "
+            f"LEFT JOIN (SELECT e.src AS id, SUM(a.s) AS s FROM e "
+            f"JOIN a{t} a ON a.id = e.dst GROUP BY e.src) x ON x.id = v.id)"
+        )
+        ctes.append(
+            f"h{t} AS MATERIALIZED (SELECT id, CAST(CASE WHEN mx > 0 THEN "
+            f"(s * 1000) // mx ELSE 0 END AS BIGINT) AS s "
+            f"FROM hr{t}, (SELECT MAX(s) AS mx FROM hr{t}))"
+        )
+        # SALSA half-steps (per-edge integer degree quotients)
+        ctes.append(
+            f"sar{t} AS MATERIALIZED (SELECT v.id, COALESCE(x.s, 0) AS s FROM v "
+            f"LEFT JOIN (SELECT e.dst AS id, SUM(h.s // od.od) AS s FROM e "
+            f"JOIN sh{t-1} h ON h.id = e.src JOIN od ON od.id = e.src "
+            f"GROUP BY e.dst) x ON x.id = v.id)"
+        )
+        ctes.append(
+            f"sa{t} AS MATERIALIZED (SELECT id, CAST(CASE WHEN mx > 0 THEN "
+            f"(s * 1000) // mx ELSE 0 END AS BIGINT) AS s "
+            f"FROM sar{t}, (SELECT MAX(s) AS mx FROM sar{t}))"
+        )
+        ctes.append(
+            f"shr{t} AS MATERIALIZED (SELECT v.id, COALESCE(x.s, 0) AS s FROM v "
+            f"LEFT JOIN (SELECT e.src AS id, SUM(a.s // ind.ind) AS s FROM e "
+            f"JOIN sa{t} a ON a.id = e.dst JOIN ind ON ind.id = e.dst "
+            f"GROUP BY e.src) x ON x.id = v.id)"
+        )
+        ctes.append(
+            f"sh{t} AS MATERIALIZED (SELECT id, CAST(CASE WHEN mx > 0 THEN "
+            f"(s * 1000) // mx ELSE 0 END AS BIGINT) AS s "
+            f"FROM shr{t}, (SELECT MAX(s) AS mx FROM shr{t}))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT a.id, a.s AS auth_milli, h.s AS hub_milli, "
+        f"sa.s AS salsa_auth_milli, sh.s AS salsa_hub_milli "
+        f"FROM a{iters} a JOIN h{iters} h ON h.id = a.id "
+        f"JOIN sa{iters} sa ON sa.id = a.id "
+        f"JOIN sh{iters} sh ON sh.id = a.id"
+    )
+
+
 def _co_project_sql(max_dst_degree: int, min_shared: int) -> str:
     """Mirrors fog_spark.operators.projection.co_project: src pairs
     (a < b) sharing dsts, dsts above the degree cap excluded."""
@@ -1098,10 +1166,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = _engine(spark).run(WeightedPageRankMilli(niters=8), _edges(spark, sf))
         return res.state.select("id", "rank_milli")
 
-    def hits4_milli(spark, sf):
+    def hits_salsa4_milli(spark, sf):
+        # one gate slot, two link-analysis twins (gate-cap merging,
+        # VERDICT r02 finding 1): Kleinberg HITS and Lempel-Moran SALSA
+        # share the vertex set, so their integer-milli scores join into
+        # one frame and the combined oracle checks both code paths.
         from fog_spark.algos.hits import hits_milli
+        from fog_spark.algos.salsa import salsa_milli
 
-        return hits_milli(_edges(spark, sf), iters=4)
+        e = _edges(spark, sf)
+        return hits_milli(e, iters=4).join(salsa_milli(e, iters=4), "id")
 
     def neighbor_sample3(spark, sf):
         from fog_spark.operators.sampling import sample_neighbors
@@ -1469,7 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball8": hyperball8,
         "mis12": mis12,
         "ktruss3": ktruss3,
-        "hits4_milli": hits4_milli,
+        "hits_salsa4_milli": hits_salsa4_milli,
         "wpagerank8_milli": wpagerank8_milli,
         "host_pagerank4": host_pagerank4,
         "spcont8": spcont8,
@@ -1632,7 +1706,7 @@ GROUP BY r1.a""",
         "hyperball8": _hyperball_sql(16, 8),
         "mis12": _mis_sql(12),
         "ktruss3": _ktruss_sql(3, 4),
-        "hits4_milli": _hits_sql(4),
+        "hits_salsa4_milli": _hits_salsa_sql(4),
         "wpagerank8_milli": _wpagerank_milli_sql(8),
         "host_pagerank4": _host_pagerank_sql(4),
         "spcont8": _spcont_sql([0, 1, 2, 3], 8),

@@ -46,6 +46,8 @@ ALGOS = (
     "stats",
     "wpagerank-milli",
     "hits",
+    "salsa",
+    "pagerank-warm",
     "mis",
     "ktruss",
     "hyperball",
@@ -103,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="salt adjacency rows above this out-degree (default engine setting)")
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--pagerank-niters", type=int, default=10)
+    p.add_argument("--warm-ranks", default=None,
+                   help="parquet of (id, rank) from a previous standard-pagerank "
+                        "run; required by --algo pagerank-warm")
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--sssp-source", type=int, default=0)
     p.add_argument("--bfs-root", type=int, default=0)
@@ -123,6 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--node2vec-p", type=float, default=1.0)
     p.add_argument("--node2vec-q", type=float, default=1.0)
     return p
+
+
+def _die(msg: str) -> str:
+    raise SystemExit(msg)
 
 
 def _load_pages(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
@@ -226,6 +235,7 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         PPRMilli,
         StandardPageRank,
         TrustRankMilli,
+        WarmStartPageRank,
         WeightedPageRankMilli,
         k_core,
         msf,
@@ -269,6 +279,10 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         from fog_spark.algos.hits import hits_milli
 
         return hits_milli(e, iters=args.hits_iters)
+    if args.algo == "salsa":
+        from fog_spark.algos.salsa import salsa_milli
+
+        return salsa_milli(e, iters=args.hits_iters)
     if args.algo == "mis":
         from fog_spark.algos.mis import maximal_independent_set
 
@@ -298,6 +312,13 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         "pagerank": lambda: FogPageRank(niters=args.pagerank_niters, damping=args.damping),
         "pagerank-milli": lambda: FogPageRankMilli(niters=args.pagerank_niters),
         "standard-pagerank": lambda: StandardPageRank(damping=args.damping),
+        "pagerank-warm": lambda: WarmStartPageRank(
+            spark.read.parquet(
+                args.warm_ranks
+                or _die("--algo pagerank-warm requires --warm-ranks")
+            ).select("id", "rank"),
+            damping=args.damping,
+        ),
         "cc": ConnectedComponents,
         "bfs": lambda: BFS(root=args.bfs_root),
         "sssp": lambda: SSSP(source=args.sssp_source),

@@ -5,7 +5,9 @@ from fog_spark.algos.pagerank import (  # noqa: F401
     StandardPageRank,
     WeightedPageRankMilli,
     TrustRankMilli,
+    WarmStartPageRank,
 )
+from fog_spark.algos.salsa import salsa_milli  # noqa: F401
 from fog_spark.algos.components import ConnectedComponents  # noqa: F401
 from fog_spark.algos.kcore import coreness, k_core  # noqa: F401
 from fog_spark.algos.ktruss import k_truss  # noqa: F401

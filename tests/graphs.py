@@ -739,3 +739,29 @@ def weighted_pagerank_milli_oracle(edges_w, niters=8):
             add[d] += (850 * rank[s] * m) // (1000 * swm[s]) + 150_000
         rank = {v: rank[v] + add[v] for v in verts}
     return rank
+
+
+def salsa_oracle(edges, iters=4):
+    """{id: (salsa_auth_milli, salsa_hub_milli)} — integer-milli
+    max-normalized SALSA (algos.salsa.salsa_milli): per-edge
+    degree-normalized integer quotients, multi-edges with multiplicity."""
+    verts = sorted({v for e in edges for v in e})
+    od = {v: 0 for v in verts}
+    ind = {v: 0 for v in verts}
+    for s, d in edges:
+        od[s] += 1
+        ind[d] += 1
+    h = {v: 1000 for v in verts}
+    a = {v: 0 for v in verts}
+    for _ in range(iters):
+        raw = {v: 0 for v in verts}
+        for s, d in edges:
+            raw[d] += h[s] // od[s]
+        mx = max(raw.values()) if raw else 0
+        a = {v: (raw[v] * 1000) // mx if mx > 0 else 0 for v in verts}
+        raw = {v: 0 for v in verts}
+        for s, d in edges:
+            raw[s] += a[d] // ind[d]
+        mx = max(raw.values()) if raw else 0
+        h = {v: (raw[v] * 1000) // mx if mx > 0 else 0 for v in verts}
+    return {v: (a[v], h[v]) for v in verts}

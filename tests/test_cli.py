@@ -65,6 +65,7 @@ def test_cli_new_algos_smoke(spark, tmp_path):
     src.write_text(elist)
     for algo, check in [
         ("hits", lambda rows: {"id", "auth_milli", "hub_milli"} <= set(rows[0].asDict())),
+        ("salsa", lambda rows: {"id", "salsa_auth_milli", "salsa_hub_milli"} <= set(rows[0].asDict())),
         ("cc-star", lambda rows: {r["component"] for r in rows} == {0, 3}),
         ("mis", lambda rows: all(r["in_mis"] is not None for r in rows)),
         ("hyperball", lambda rows: all(r["sum2k"] > 0 for r in rows)),
@@ -101,3 +102,28 @@ def test_cli_host_rollup_any_algo(spark, tmp_path):
     assert rows and {"id", "component", "host"} <= set(rows[0].asDict())
     hosts = {r["host"] for r in rows}
     assert all(h and h == h.lower() for h in hosts)
+
+
+def test_cli_pagerank_warm(spark, tmp_path):
+    edges, n = GX.ALL_GRAPHS["two_triangles"]
+    e = make_edges_df(spark, edges)
+    pq = tmp_path / "edges_pq"
+    e.write.mode("overwrite").parquet(str(pq))
+    ranks = tmp_path / "ranks"
+    assert main(
+        ["--algo", "standard-pagerank", "--edges", str(pq),
+         "--output", str(ranks)], spark=spark,
+    ) == 0
+    out = tmp_path / "warm_out"
+    assert main(
+        ["--algo", "pagerank-warm", "--edges", str(pq),
+         "--warm-ranks", str(ranks), "--output", str(out)], spark=spark,
+    ) == 0
+    got = {r["id"]: r["rank"] for r in spark.read.parquet(str(out)).collect()}
+    want = {r["id"]: r["rank"] for r in spark.read.parquet(str(ranks)).collect()}
+    # warm start FROM the fixpoint stays AT the fixpoint
+    assert all(abs(got[v] - want[v]) < 1e-6 for v in got)
+    # missing --warm-ranks is a clean CLI error
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["--algo", "pagerank-warm", "--edges", str(pq)], spark=spark)

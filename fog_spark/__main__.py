@@ -48,6 +48,7 @@ ALGOS = (
     "hits",
     "salsa",
     "pagerank-warm",
+    "edge-delta",
     "mis",
     "ktruss",
     "hyperball",
@@ -108,6 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warm-ranks", default=None,
                    help="parquet of (id, rank) from a previous standard-pagerank "
                         "run; required by --algo pagerank-warm")
+    p.add_argument("--edges-old", default=None,
+                   help="previous capture's edge parquet; required by "
+                        "--algo edge-delta (diffs it against --edges)")
     p.add_argument("--damping", type=float, default=0.85)
     p.add_argument("--sssp-source", type=int, default=0)
     p.add_argument("--bfs-root", type=int, default=0)
@@ -283,6 +287,12 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         from fog_spark.algos.salsa import salsa_milli
 
         return salsa_milli(e, iters=args.hits_iters)
+    if args.algo == "edge-delta":
+        from fog_spark.operators.snapshots import edge_delta
+
+        if not args.edges_old:
+            raise SystemExit("--algo edge-delta requires --edges-old")
+        return edge_delta(spark.read.parquet(args.edges_old), e)
     if args.algo == "mis":
         from fog_spark.algos.mis import maximal_independent_set
 

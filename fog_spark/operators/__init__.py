@@ -29,6 +29,8 @@ from fog_spark.operators.crawl import (  # noqa: F401
 )
 from fog_spark.operators.node2vec import node2vec_walks  # noqa: F401
 from fog_spark.operators.snapshots import (  # noqa: F401
+    edge_delta,
+    edge_delta_stats,
     latest_snapshots,
     page_change_stats,
 )

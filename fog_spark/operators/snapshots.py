@@ -59,3 +59,76 @@ def page_change_stats(pages: DataFrame) -> DataFrame:
             (F.count_distinct(vh) - 1) / F.greatest(F.count("*") - 1, F.lit(1))
         ).alias("change_ratio"),
     )
+
+
+def edge_delta(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
+    """Crawl-to-crawl link diff: ``(src, dst, change)`` with change in
+    {'added', 'removed'} over the DISTINCT edge sets of two captures of
+    the same graph (multi-edge multiplicity changes are not changes to
+    link existence). Both inputs must share one vertex-id space — use
+    the same url dictionary for both extractions.
+
+    This is the input a warm-started PageRank refresh
+    (algos.pagerank.WarmStartPageRank) wants to LOOK AT before running:
+    |delta| / |E| bounds the distance of the stale ranks from the new
+    fixpoint, so a scheduler can skip the refresh when nothing moved.
+
+    Scale shape: ONE shuffle — tag each side, union, one hash aggregate
+    keyed by (src, dst) with map-side combine; edges present on both
+    sides (the overwhelming majority, crawl-over-crawl) collapse to
+    'unchanged' in the partial aggregates and are filtered before the
+    result materializes. No anti-join pair (two shuffles), no driver
+    collect.
+    """
+    tag0 = edges_old.select("src", "dst").distinct().select(
+        "src", "dst", F.lit(1).alias("_t")
+    )
+    tag1 = edges_new.select("src", "dst").distinct().select(
+        "src", "dst", F.lit(2).alias("_t")
+    )
+    both = tag0.unionByName(tag1).groupBy("src", "dst").agg(
+        F.min("_t").alias("_mn"), F.max("_t").alias("_mx")
+    )
+    return both.where(F.col("_mn") == F.col("_mx")).select(
+        "src",
+        "dst",
+        F.when(F.col("_mn") == 1, F.lit("removed"))
+        .otherwise(F.lit("added"))
+        .alias("change"),
+    )
+
+
+def edge_delta_stats(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
+    """One-row summary of :func:`edge_delta`:
+    ``(n_added, n_removed, n_unchanged, churn)`` where
+    ``churn = (n_added + n_removed) / greatest(n_old_distinct, 1)`` —
+    the refresh-scheduling signal (skip the PageRank refresh below a
+    churn threshold). Same single-shuffle plan as edge_delta, summed."""
+    tag0 = edges_old.select("src", "dst").distinct().select(
+        "src", "dst", F.lit(1).alias("_t")
+    )
+    tag1 = edges_new.select("src", "dst").distinct().select(
+        "src", "dst", F.lit(2).alias("_t")
+    )
+    both = tag0.unionByName(tag1).groupBy("src", "dst").agg(
+        F.min("_t").alias("_mn"), F.max("_t").alias("_mx")
+    )
+    return both.agg(
+        F.sum(F.when((F.col("_mn") == 2) & (F.col("_mx") == 2), 1).otherwise(0))
+        .cast("long")
+        .alias("n_added"),
+        F.sum(F.when((F.col("_mn") == 1) & (F.col("_mx") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("_mn") < F.col("_mx"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unchanged"),
+    ).select(
+        "n_added",
+        "n_removed",
+        "n_unchanged",
+        (
+            (F.col("n_added") + F.col("n_removed"))
+            / F.greatest(F.col("n_removed") + F.col("n_unchanged"), F.lit(1))
+        ).alias("churn"),
+    )

@@ -144,6 +144,38 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
             "iter_walls_ms": [h["wall_time_ms"] for h in res.history],
         }
 
+    def q_pagerank_warm():
+        # incremental-refresh evidence at bench scale: converge on the
+        # base graph, perturb ~1% of edges (the crawl-over-crawl delta),
+        # then re-converge warm (from the stale ranks) vs cold — the
+        # saved iterations are full edge-sized shuffle passes.
+        from fog_spark.algos import StandardPageRank, WarmStartPageRank
+
+        stale = engine().run(StandardPageRank(tol=1e-6), edges, max_iters=100)
+        perturbed = edges.where(
+            F.pmod(F.xxhash64("src", "dst"), F.lit(100)) != 0
+        )
+        cold = engine().run(StandardPageRank(tol=1e-6), perturbed, max_iters=100)
+        warm = engine().run(
+            WarmStartPageRank(stale.state.select("id", "rank"), tol=1e-6),
+            perturbed,
+            max_iters=100,
+        )
+        # distributed max-diff vs cold: same fixpoint check, no collect
+        a = cold.state.select("id", F.col("rank").alias("ra"))
+        b = warm.state.select("id", F.col("rank").alias("rb"))
+        max_diff = (
+            a.join(b, "id")
+            .agg(F.max(F.abs(F.col("ra") - F.col("rb"))))
+            .collect()[0][0]
+        )
+        return {
+            "iters_cold": cold.iterations,
+            "iters_warm": warm.iterations,
+            "iters_saved": cold.iterations - warm.iterations,
+            "max_diff_vs_cold": float(max_diff),
+        }
+
     def q_cc():
         res = engine().run(ConnectedComponents(), edges, max_iters=50)
         n = res.state.agg(F.countDistinct("component")).collect()[0][0]
@@ -289,6 +321,7 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         "extract_edges": q_extract_edges,
         "pagerank5": q_pagerank5,
         "pagerank_conv": q_pagerank_conv,
+        "pagerank_warm": q_pagerank_warm,
         "cc": q_cc,
         "cc_star": q_cc_star,
         "lpa4": q_lpa4,

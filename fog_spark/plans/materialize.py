@@ -55,12 +55,59 @@ class Materializer:
         shuffle read and a full collect_list rebuild per iteration)."""
         before = self._pids()
         out = df.localCheckpoint(eager=True, storageLevel=_SER)
+        out = self._strip_inherited_stats(out)
         try:
             owned = {int(out._jdf.queryExecution().analyzed().rdd().id())}
         except Exception:  # pragma: no cover - py4j surface drift
             owned = self._pids() - before
         object.__setattr__(out, _TAG, owned)
         return out
+
+    def _strip_inherited_stats(self, out: DataFrame) -> DataFrame:
+        """Drop the origin plan's Statistics/constraints from the
+        checkpoint's LogicalRDD.
+
+        ``Dataset.localCheckpoint`` copies the ORIGIN plan's estimated
+        statistics into the new LogicalRDD. Spark's size-only estimator
+        MULTIPLIES ``sizeInBytes`` at every join, so an iterative loop
+        whose per-iteration plan joins the state with itself (pointer
+        doubling, apply joins) SQUARES the inherited estimate each
+        iteration — the BigInt reaches millions of digits within ~10
+        iterations and the driver then spends its time in
+        BigInteger.multiply inside join-size estimation (measured: SCC's
+        backward fixpoint at 2k vertices went 0.7 s -> 177 s per
+        iteration from this alone; sizeInBytes hit 2*10^7 digits).
+        Rebuilding the LogicalRDD with empty originStats resets the
+        estimate to the (finite) default each iteration — the estimator
+        then multiplies a handful of 63-bit numbers per plan instead of
+        compounding across iterations. Join-strategy impact: none for
+        the engine (auto-broadcast is disabled inside iteration loops)
+        and none for hand loops (the inherited estimate was
+        astronomically large, so nothing auto-broadcast before either).
+        Best-effort: any py4j surface drift falls back to the
+        stats-inheriting frame, which is correct but slow."""
+        try:
+            jvm = self.spark._jvm
+            lr = out._jdf.queryExecution().analyzed()
+            if lr.getClass().getName() != "org.apache.spark.sql.execution.LogicalRDD":
+                return out
+            new_lr = jvm.org.apache.spark.sql.execution.LogicalRDD(
+                lr.output(),
+                lr.rdd(),
+                lr.outputPartitioning(),
+                lr.outputOrdering(),
+                lr.isStreaming(),
+                lr.stream(),
+                self.spark._jsparkSession,
+                jvm.scala.Option.empty(),
+                jvm.scala.Option.empty(),
+            )
+            ds = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                self.spark._jsparkSession, new_lr
+            )
+            return DataFrame(ds, out.sparkSession)
+        except Exception:  # pragma: no cover - py4j surface drift
+            return out
 
     def free(self, df: DataFrame | None) -> None:
         """Release the cached blocks behind a frame produced by

@@ -49,6 +49,7 @@ ALGOS = (
     "salsa",
     "pagerank-warm",
     "edge-delta",
+    "bowtie",
     "mis",
     "ktruss",
     "hyperball",
@@ -287,6 +288,10 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         from fog_spark.algos.salsa import salsa_milli
 
         return salsa_milli(e, iters=args.hits_iters)
+    if args.algo == "bowtie":
+        from fog_spark.algos.bowtie import bowtie
+
+        return bowtie(e)
     if args.algo == "edge-delta":
         from fog_spark.operators.snapshots import edge_delta
 

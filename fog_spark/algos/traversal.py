@@ -110,3 +110,33 @@ class SSSP(Algorithm):
                 F.coalesce(changed, F.lit(False)).alias("_active"),
             )
         )
+
+
+class SetBFS(BFS):
+    """Multi-source BFS from a DataFrame of seed ids — level = hops from
+    the NEAREST seed. The reachability primitive set-shaped analyses
+    (bow-tie decomposition) need, where the seed set is itself the
+    output of a previous distributed job (an SCC, a frontier slice) and
+    can be millions of vertices — a literal `isin` list would not scale,
+    so seeds arrive as a DataFrame and init is ONE vertex-sized join.
+    Same messages/gather/apply as single-source BFS; empty seed sets
+    converge immediately (no frontier, all levels UNREACHED)."""
+
+    def __init__(self, seeds: DataFrame, name: str = "set_bfs"):
+        self.name = name
+        self._seeds = seeds.select(F.col(seeds.columns[0]).alias("_seed_id")).distinct()
+
+    def init_state(self, vertices: DataFrame, adj: DataFrame) -> DataFrame:
+        return (
+            vertices.join(
+                self._seeds, vertices["id"] == F.col("_seed_id"), "left"
+            )
+            .select(
+                "id",
+                F.when(F.col("_seed_id").isNotNull(), F.lit(0))
+                .otherwise(F.lit(UNREACHED_LEVEL))
+                .cast("long")
+                .alias("level"),
+                F.col("_seed_id").isNotNull().alias("_active"),
+            )
+        )

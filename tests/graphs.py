@@ -765,3 +765,62 @@ def salsa_oracle(edges, iters=4):
         mx = max(raw.values()) if raw else 0
         h = {v: (raw[v] * 1000) // mx if mx > 0 else 0 for v in verts}
     return {v: (a[v], h[v]) for v in verts}
+
+
+def bowtie_oracle(edges, n):
+    """{id: region} — Broder bow-tie decomposition (algos.bowtie.bowtie).
+    Vertices absent from the edge list are excluded (no edge-table row)."""
+    from collections import defaultdict, deque
+
+    present = sorted({v for e in edges for v in e})
+    labels = scc_oracle(edges, n)
+    sizes = defaultdict(int)
+    for v in present:
+        sizes[labels[v]] += 1
+    core_label = min(
+        (lbl for lbl in sizes), key=lambda lbl: (-sizes[lbl], lbl)
+    )
+    core = {v for v in present if labels[v] == core_label}
+
+    fwd_adj = defaultdict(list)
+    bwd_adj = defaultdict(list)
+    for s, t in edges:
+        if s != t:
+            fwd_adj[s].append(t)
+            bwd_adj[t].append(s)
+
+    def reach(seeds, adj):
+        seen = set(seeds)
+        q = deque(seeds)
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    q.append(w)
+        return seen
+
+    f_core = reach(core, fwd_adj)
+    b_core = reach(core, bwd_adj)
+    in_set = b_core - core
+    out_set = f_core - core
+    f_in = reach(in_set, fwd_adj)
+    b_out = reach(out_set, bwd_adj)
+
+    regions = {}
+    for v in present:
+        if v in core:
+            regions[v] = "CORE"
+        elif v in b_core:
+            regions[v] = "IN"
+        elif v in f_core:
+            regions[v] = "OUT"
+        elif v in f_in and v in b_out:
+            regions[v] = "TUBE"
+        elif v in f_in:
+            regions[v] = "TENDRIL_IN"
+        elif v in b_out:
+            regions[v] = "TENDRIL_OUT"
+        else:
+            regions[v] = "DISC"
+    return regions

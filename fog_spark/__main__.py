@@ -60,6 +60,7 @@ ALGOS = (
     "coreness",
     "anchor-text",
     "effective-diameter",
+    "spam-mass",
 )
 
 
@@ -292,6 +293,14 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         from fog_spark.algos.bowtie import bowtie
 
         return bowtie(e)
+    if args.algo == "spam-mass":
+        from fog_spark.algos.spam import spam_mass_milli
+
+        return spam_mass_milli(
+            spark, e,
+            trust_seeds=[int(s) for s in args.trust_seeds.split(",")],
+            niters=args.ppr_niters,
+        )
     if args.algo == "edge-delta":
         from fog_spark.operators.snapshots import edge_delta
 

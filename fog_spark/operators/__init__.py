@@ -1,7 +1,11 @@
 from fog_spark.operators.dedup import (  # noqa: F401
+    dedup_near,
     exact_dedup,
+    jaccard_on_pairs,
+    lsh_star_edges,
     minhash_signatures,
     minhash_lsh_candidates,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dups,
@@ -34,6 +38,7 @@ from fog_spark.operators.snapshots import (  # noqa: F401
     latest_snapshots,
     page_change_stats,
 )
+from fog_spark.operators.mirrors import host_fingerprints, mirror_hosts  # noqa: F401
 from fog_spark.operators.projection import co_project  # noqa: F401
-from fog_spark.operators.sampling import sample_neighbors  # noqa: F401
+from fog_spark.operators.sampling import sample_neighbors, stratified_sample  # noqa: F401
 from fog_spark.operators.walks import random_walks  # noqa: F401

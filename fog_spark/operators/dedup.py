@@ -89,11 +89,13 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+def _lsh_buckets(
+    docs: DataFrame, text_col: str, id_col: str,
+    num_hashes: int, bands: int, shingle_n: int,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band."""
+    """(id, band, bh) — each doc's LSH bucket key per band. Docs whose
+    shingle set is empty (texts shorter than one shingle) produce no
+    rows: they can never near-dup-match anything."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
@@ -102,7 +104,7 @@ def minhash_lsh_candidates(
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(F.xxhash64(*cols).alias(f"band_{b}"))
     banded = sig.select("id", *band_cols)
-    stacked = banded.select(
+    return banded.select(
         "id",
         F.explode(
             F.array(*[
@@ -111,6 +113,14 @@ def minhash_lsh_candidates(
             ])
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band."""
+    stacked = _lsh_buckets(docs, text_col, id_col, num_hashes, bands, shingle_n)
     left = stacked.select(F.col("id").alias("id_a"), "band", "bh")
     right = stacked.select(F.col("id").alias("id_b"), "band", "bh")
     return (
@@ -118,6 +128,123 @@ def minhash_lsh_candidates(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_star_edges(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+) -> DataFrame:
+    """(src, dst) spanning edges of the LSH-bucket co-membership graph:
+    every bucket member links to the bucket's MIN id, never to each
+    other.
+
+    For *clustering* (as opposed to pair reporting) this is the scale
+    move: a bucket of size k contributes k-1 edges instead of k(k-1)/2
+    pairs, so a degenerate corpus (millions of identical documents — a
+    crawl's boilerplate) costs O(N*bands) edges, never O(N^2), while the
+    connected components of the star graph are EXACTLY the components of
+    the all-pairs bucket graph (every member is connected through the
+    bucket min; pytest pins the partition equality against a brute-force
+    all-pairs union-find). One window min per bucket — a single exchange
+    on (band, bh), no self-join at all.
+    """
+    from pyspark.sql import Window
+
+    stacked = _lsh_buckets(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    w = Window.partitionBy("band", "bh")
+    starred = stacked.select("id", F.min("id").over(w).alias("root"))
+    return (
+        starred.where(F.col("id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("id").alias("dst"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    docs: DataFrame, pairs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) — EXACT shingle-set Jaccard computed only
+    for the given candidate pairs (columns id_a, id_b). Intersection via
+    a (pair x shingle) equi-join — cost is O(|pairs| * shingle overlap),
+    never corpus-quadratic; set sizes ride a broadcast-friendly agg."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingle_col(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    p = pairs.select("id_a", "id_b")
+    inter = (
+        p.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        p.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+             / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0)))
+             ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_clusters(
+    spark, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """(doc_id, cluster) — near-duplicate clusters over the whole corpus:
+    MinHash -> LSH buckets -> star edges -> connected components
+    (star-contraction CC, O(log n) rounds). cluster = min doc_id of the
+    cluster; every input doc appears, singletons labeled by themselves.
+
+    This is the composition a training-data pipeline actually runs
+    ("collapse each near-dup cluster to one document"), in the shape
+    production fuzzy-dedup systems use: bucket -> spanning edges -> CC,
+    no all-pairs stage anywhere.
+
+    ``jaccard_threshold``: if set, star edges are verified by EXACT
+    shingle Jaccard and dropped below the threshold before CC. Note the
+    standard approximation: verification applies to the spanning edges,
+    not all bucket pairs, so two docs can land in one cluster through a
+    chain of >=threshold neighbors (and a bucket-mate whose only star
+    edge fails stays out even if some other bucket pair would pass).
+    """
+    from fog_spark.algos.cc_star import star_contraction_components
+
+    edges = lsh_star_edges(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    if jaccard_threshold is not None:
+        verified = jaccard_on_pairs(
+            docs,
+            edges.select(F.col("src").alias("id_a"), F.col("dst").alias("id_b")),
+            text_col, id_col, shingle_n,
+        ).where(F.col("jaccard") >= jaccard_threshold)
+        edges = verified.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+    all_ids = docs.select(F.col(id_col).alias("id")).distinct()
+    labels = star_contraction_components(spark, edges, vertices=all_ids)
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+
+
+def dedup_near(
+    spark, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Corpus with each near-dup cluster collapsed to its min-id doc —
+    one semi-join against the cluster keepers, schema preserved."""
+    clusters = near_dup_clusters(spark, docs, text_col, id_col, **kw)
+    keepers = clusters.where(F.col("doc_id") == F.col("cluster")).select("doc_id")
+    return docs.join(
+        keepers.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from fog_spark.graph import normalize_edges
+from fog_spark.hashing import pmod
 
 
 def _edge_hash(hash_fn: str):
@@ -50,3 +51,46 @@ def sample_neighbors(
         .where(F.col("_rn") <= k)
         .select("src", "dst")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str] | str,
+    fractions: dict | float,
+    key: list[str] | str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the corpus-curation
+    primitive ("keep 10% of English, 100% of low-resource languages").
+
+    A row is kept iff pmod(xxhash64(*key), 10^6) < fraction(stratum)*10^6,
+    a pure function of the row's KEY columns: stable under repartitioning,
+    task retries, AQE re-planning, and across runs — none of which holds
+    for ``DataFrame.sampleBy`` (partition-seeded Bernoulli: adding one
+    upstream ``repartition`` resamples everything). Content-keyed
+    sampling also means the same document keeps/drops identically in two
+    different pipelines — joinable samples for free.
+
+    ``strata``: column name(s) whose values pick the fraction.
+    ``fractions``: {stratum_value: fraction} (single-column strata) or a
+    single float applied to every row. Missing strata get
+    ``default_fraction``. ``key``: column(s) hashed for the keep decision
+    (use the stable document id / url, NOT the stratum).
+
+    One scan, zero shuffles, whole-stage-codegen'd end to end.
+    """
+    strata_cols = [strata] if isinstance(strata, str) else list(strata)
+    key_cols = [key] if isinstance(key, str) else list(key)
+    h = pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(1_000_000))
+    if isinstance(fractions, dict):
+        if len(strata_cols) != 1:
+            raise ValueError("dict fractions require a single strata column")
+        expr = F.lit(int(default_fraction * 1_000_000))
+        for val, frac in fractions.items():
+            expr = F.when(
+                F.col(strata_cols[0]) == F.lit(val), F.lit(int(frac * 1_000_000))
+            ).otherwise(expr)
+        thresh = expr
+    else:
+        thresh = F.lit(int(float(fractions) * 1_000_000))
+    return df.where(h < thresh)

@@ -21,6 +21,8 @@ manager.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
@@ -85,7 +87,12 @@ class Materializer:
         and none for hand loops (the inherited estimate was
         astronomically large, so nothing auto-broadcast before either).
         Best-effort: any py4j surface drift falls back to the
-        stats-inheriting frame, which is correct but slow."""
+        stats-inheriting frame, which is correct but slow.
+
+        ``FOG_SPARK_KEEP_INHERITED_STATS=1`` disables the strip (A/B
+        diagnosis hatch)."""
+        if os.environ.get("FOG_SPARK_KEEP_INHERITED_STATS") == "1":
+            return out
         try:
             jvm = self.spark._jvm
             lr = out._jdf.queryExecution().analyzed()

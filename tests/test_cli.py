@@ -70,6 +70,7 @@ def test_cli_new_algos_smoke(spark, tmp_path):
         ("mis", lambda rows: all(r["in_mis"] is not None for r in rows)),
         ("hyperball", lambda rows: all(r["sum2k"] > 0 for r in rows)),
         ("node2vec", lambda rows: len(rows) > 0),
+        ("spam-mass", lambda rows: all(r["spam_permille"] <= 1000 for r in rows)),
     ]:
         out = tmp_path / f"{algo}_out"
         rc = main(

@@ -227,6 +227,55 @@ def _ppr_milli_sql(seed: int, niters: int) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank_milli FROM r{niters}"
 
 
+def _spam_mass_sql(seeds: list[int], niters: int) -> str:
+    """Unrolled spam mass (Gyongyi et al. VLDB 2006): uniform-teleport
+    integer PageRank vs seed-set TrustRank rescaled to the same total
+    mass — mirrors fog_spark.algos.spam.spam_mass_milli exactly in long
+    arithmetic (DuckDB's // truncates toward zero like Spark's div for
+    the operand signs here, including the possibly-negative pr-trust)."""
+    k = len(seeds)
+    seedlist = ", ".join(str(s) for s in seeds)
+    init_tr = 1_000_000 // k
+    tick_tr = 150_000 // k
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES})",
+        f"v AS MATERIALIZED ({VERTS})",
+        "d AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "p0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS r FROM v)",
+        f"t0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN id IN ({seedlist}) "
+        f"THEN {init_tr} ELSE 0 END AS BIGINT) AS r FROM v)",
+    ]
+    for i in range(1, niters + 1):
+        gather = (
+            "SELECT e.dst AS id, SUM((850 * r.r) // (1000 * d.outdeg)) AS s "
+            "FROM {src} r JOIN d ON d.src = r.id JOIN e ON e.src = r.id GROUP BY e.dst"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT p.id, CAST(COALESCE(m.s, 0) + 150000 AS BIGINT) AS r "
+            f"FROM p{i-1} p LEFT JOIN ({gather.format(src=f'p{i-1}')}) m ON m.id = p.id)"
+        )
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT p.id, CAST(COALESCE(m.s, 0) "
+            f"+ CASE WHEN p.id IN ({seedlist}) THEN {tick_tr} ELSE 0 END AS BIGINT) AS r "
+            f"FROM t{i-1} p LEFT JOIN ({gather.format(src=f't{i-1}')}) m ON m.id = p.id)"
+        )
+    ctes.append(
+        f"j AS MATERIALIZED (SELECT p.id, p.r AS pr, t.r AS tr "
+        f"FROM p{niters} p JOIN t{niters} t ON t.id = p.id)"
+    )
+    ctes.append("s AS MATERIALIZED (SELECT SUM(pr) AS s_pr, SUM(tr) AS s_tr FROM j)")
+    ctes.append(
+        "f AS MATERIALIZED (SELECT id, pr, CAST(CASE WHEN s_tr > 0 "
+        "THEN (tr * s_pr) // s_tr ELSE 0 END AS BIGINT) AS trust FROM j CROSS JOIN s)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT id, pr AS pr_milli, trust AS trust_milli, "
+        "CAST(((pr - trust) * 1000) // pr AS BIGINT) AS spam_permille FROM f"
+    )
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled degree peel, exactly the bounded loop k_core() runs: per
     round drop vertices with undirected-simple degree < k and semi-join
@@ -1011,18 +1060,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def connected_components(spark, sf):
         return _cc_state(spark, sf)
 
-    def component_sizes_q(spark, sf):
-        # deliberately computed over the OTHER CC implementation — the
-        # O(log n)-round star contraction (cc_star.py, Kiveris et al.),
-        # not the hash-min engine the `connected_components` entry runs.
-        # The two must produce the identical min-id labeling, so this
-        # slot's unchanged SQL oracle now gate-checks both code paths.
-        from fog_spark.algos.cc_star import star_contraction_components
-        from fog_spark.algos.components import component_sizes
-
-        labels = star_contraction_components(spark, _edges(spark, sf))
-        return component_sizes(labels)
-
     def bfs_levels(spark, sf):
         # max_iters=100 pins the iteration bound to the oracle's
         # `r.lvl < 100` recursion guard: both sides emit levels <= 100,
@@ -1288,9 +1325,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("url", "dst_url", "anchor", "nofollow", "text_ok")
 
     def doc_stats(spark, sf):
-        # quality + Gopher-style repetition signals in one slot: the
-        # repetition block (operators/text.py:repetition_features) is
-        # per-row O(n log n) Column math, so it rides the same scan
+        # the full per-document text-analysis surface in one slot (gate-
+        # cap merging, VERDICT r02 finding 1): quality + Gopher-style
+        # repetition signals + lang-id + portable fingerprint. All four
+        # are per-row Column math over the same scan, so the join is a
+        # formality Catalyst collapses; each keeps its own named columns
+        # so a single wrong feature still hash-fails the slot.
         from fog_spark.operators.text import repetition_features
 
         d = _docs(spark, sf)
@@ -1304,10 +1344,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stopword_ratio",
             "quality_score",
         )
-        return q.join(repetition_features(d), "id")
-
-    def lang_id_q(spark, sf):
-        return lang_id(_docs(spark, sf))
+        return (
+            q.join(repetition_features(d), "id")
+            .join(lang_id(d), "id")
+            .join(doc_fingerprint_portable(d), "id")
+        )
 
     def dedup_exact_md5(spark, sf):
         return exact_dedup(_docs(spark, sf), hash_fn="md5")
@@ -1333,16 +1374,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # instead, whose groupBy gets map-side partial aggregation.
         w = W.partitionBy(F.md5("text")).orderBy("id")
         kept = surv.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
-        return kept.groupBy("lang").agg(
+        # stratified corpus sampling rides the same pipeline (the "keep
+        # 40% of English, all of German" curation step): md5-keyed so the
+        # oracle replays the keep decision bit-for-bit; the keep set is a
+        # pure function of doc id — stable under repartitioning/retries.
+        from fog_spark.operators.sampling import stratified_sample
+
+        sampled = stratified_sample(
+            kept, strata="lang", fractions={"en": 0.4, "de": 0.8},
+            key="id", default_fraction=0.6, hash_fn="md5",
+        )
+        return sampled.groupBy("lang").agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
 
-    def fingerprints(spark, sf):
-        return doc_fingerprint_portable(_docs(spark, sf))
-
     def minhash_candidates(spark, sf):
         return minhash_md5_candidates(_docs(spark, sf), num_hashes=8, bands=4, shingle_n=3)
+
+    def near_dup_clusters_q(spark, sf):
+        # the full fuzzy-dedup composition under one oracle: md5-portable
+        # MinHash -> LSH buckets -> per-bucket star edges -> exact-Jaccard
+        # edge verification -> star-contraction CC (cc_star.py — this slot
+        # is also the star-contraction gate check, ex component_sizes).
+        # The DuckDB side re-derives the clusters via a recursive-CTE
+        # transitive closure over independently recomputed star edges.
+        from fog_spark.operators.dedup import near_dup_clusters
+
+        return near_dup_clusters(
+            spark, _docs(spark, sf), num_hashes=8, bands=4, shingle_n=3,
+            jaccard_threshold=0.2, hash_fn="md5",
+        )
+
+    def mirror_hosts_q(spark, sf):
+        # mirror-host detection over a synthesized two-copy layout: every
+        # doc lives on h{doc_id%23}.test, even docs are replicated onto
+        # m{doc_id%23}.test (the mirror), and a boilerplate body sits on
+        # ALL hosts — which the fingerprint-df cap (10) must drop, or the
+        # result gains a 46-host clique and hash-fails. Expected shape:
+        # each m_k is fully contained in h_k (overlap_permille = 1000).
+        from fog_spark.operators.mirrors import mirror_hosts
+
+        d = _docs(spark, sf)
+        did = F.col("doc_id").cast("long")
+        url_at = lambda prefix: F.concat(  # noqa: E731
+            F.lit(f"https://{prefix}"), (did % 23).cast("string"),
+            F.lit(".test/p"), did.cast("string"),
+        )
+        hosts = spark.range(23).select(F.col("id").cast("long").alias("k"))
+        boiler = hosts.select(
+            F.explode(
+                F.array(
+                    F.concat(F.lit("https://h"), F.col("k").cast("string"), F.lit(".test/")),
+                    F.concat(F.lit("https://m"), F.col("k").cast("string"), F.lit(".test/")),
+                )
+            ).alias("url"),
+            F.lit("BOILERPLATE FOOTER").alias("text"),
+        )
+        pages = (
+            d.select(url_at("h").alias("url"), "text")
+            .unionByName(d.where(did % 2 == 0).select(url_at("m").alias("url"), "text"))
+            .unionByName(boiler)
+        )
+        return mirror_hosts(pages, min_shared=2, max_fp_hosts=10)
+
+    def spam_mass8_milli(spark, sf):
+        # trust-vs-rank mass comparison: one slot gate-checks THREE code
+        # paths — UniformPageRankMilli, TrustRankMilli (seed-set teleport,
+        # 4 seeds), and the integer rescale/ratio arithmetic of
+        # algos/spam.py (any of them wrong -> hash fail).
+        from fog_spark.algos.spam import spam_mass_milli
+
+        return spam_mass_milli(
+            spark, _edges(spark, sf), trust_seeds=[0, 1, 2, 3], niters=8
+        )
 
     def jaccard_pairs(spark, sf):
         # df cap 50: a near-universal shingle would otherwise cost
@@ -1512,6 +1617,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (top_pagerank, scc_sizes, msf_total_weight, degree_histogram,
     # out/in_degrees — all derivable from checked frames). The 10 queries
     # round 2 never checked now sit in the first 15 slots.
+    # Round 3 frees three more slots the same way (doc_stats absorbs
+    # lang_id + fingerprints as extra columns; corpus_prep absorbs
+    # stratified sampling as a pipeline stage; near_dup_clusters takes
+    # over component_sizes' star-contraction check) and spends them on
+    # spam_mass8_milli, mirror_hosts, near_dup_clusters.
     q = {
         "text_scans": text_scans,
         "graph_stats": graph_stats,
@@ -1530,7 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": nation_revenue,
         "pagerank_fog10_milli": pagerank_fog10_milli,
         "connected_components": connected_components,
-        "component_sizes": component_sizes_q,
+        "spam_mass8_milli": spam_mass8_milli,
         "bfs_levels": bfs_levels,
         "sssp16_milli": sssp16_milli,
         "sssp_hub_milli": sssp_hub_milli,
@@ -1557,10 +1667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": clustering_coeff,
         "weblinks_norm": weblinks_norm,
         "doc_stats": doc_stats,
-        "lang_id": lang_id_q,
+        "mirror_hosts": mirror_hosts_q,
         "dedup_exact_md5": dedup_exact_md5,
         "corpus_prep": corpus_prep,
-        "fingerprints": fingerprints,
+        "near_dup_clusters": near_dup_clusters_q,
         "minhash_candidates": minhash_candidates,
         "jaccard_pairs": jaccard_pairs,
     }
@@ -1616,14 +1726,34 @@ r AS (SELECT doc_id, n_chars, n_tokens,
   CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
   CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
   CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END AS stopword_ratio
-FROM b)
+FROM b),
+lh AS (SELECT doc_id,
+  len(list_filter(toks, x -> list_contains({stop['de']}, x))) AS h_de,
+  len(list_filter(toks, x -> list_contains({stop['en']}, x))) AS h_en,
+  len(list_filter(toks, x -> list_contains({stop['es']}, x))) AS h_es,
+  len(list_filter(toks, x -> list_contains({stop['fr']}, x))) AS h_fr
+FROM t),
+lg AS (SELECT doc_id,
+  CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM lh),
+fp AS (SELECT doc_id,
+  CAST(COALESCE(list_sum(
+    [i * (CAST('0x' || substr(md5(toks[i]), 1, 12) AS BIGINT) % 1000000000000)
+     for i in range(1, len(toks) + 1)]), 0) AS BIGINT) AS fingerprint
+FROM t)
 SELECT r.doc_id AS id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
   mean_token_len, alpha_ratio, punct_ratio, stopword_ratio,
   LEAST(n_tokens / 100.0, 1.0) * 0.4 + alpha_ratio * 0.3
     + LEAST(stopword_ratio * 5.0, 1.0) * 0.2
     + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.1 AS quality_score,
-  rep.dup_token_ratio, rep.top_bigram_frac, rep.top_trigram_frac, rep.dup_line_ratio
-FROM r JOIN rep ON r.doc_id = rep.doc_id"""
+  rep.dup_token_ratio, rep.top_bigram_frac, rep.top_trigram_frac, rep.dup_line_ratio,
+  lg.lang_pred, fp.fingerprint
+FROM r JOIN rep ON r.doc_id = rep.doc_id
+JOIN lg ON lg.doc_id = r.doc_id JOIN fp ON fp.doc_id = r.doc_id"""
 
     return {
         "text_scans": (
@@ -1662,17 +1792,7 @@ reach(id, lbl) AS (
   SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id
 )
 SELECT id, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY id""",
-        "component_sizes": f"""
-WITH RECURSIVE e AS ({EDGES}),
-und AS (SELECT src, dst FROM e WHERE src <> dst UNION SELECT dst, src FROM e WHERE src <> dst),
-v AS ({VERTS}),
-reach(id, lbl) AS (
-  SELECT id, id FROM v
-  UNION
-  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id
-),
-comp AS (SELECT id, CAST(MIN(lbl) AS BIGINT) AS component FROM reach GROUP BY id)
-SELECT component, COUNT(*) AS size FROM comp GROUP BY component""",
+        "spam_mass8_milli": _spam_mass_sql([0, 1, 2, 3], 8),
         "bfs_levels": f"""
 WITH RECURSIVE e AS ({EDGES}),
 g AS (SELECT src, dst FROM e WHERE src <> dst),
@@ -1760,21 +1880,28 @@ SELECT url, root || '/d/x/' || CAST(k * 3 AS VARCHAR) || '.html', 'x', FALSE, TR
 UNION ALL
 SELECT url, 'https://host' || CAST((k + 1) % 7 AS VARCHAR) || '.test/nf', 'n', TRUE, TRUE FROM u""",
         "doc_stats": quality,
-        "lang_id": f"""
-WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-h AS (SELECT doc_id,
-  len(list_filter(toks, x -> list_contains({stop['de']}, x))) AS h_de,
-  len(list_filter(toks, x -> list_contains({stop['en']}, x))) AS h_en,
-  len(list_filter(toks, x -> list_contains({stop['es']}, x))) AS h_es,
-  len(list_filter(toks, x -> list_contains({stop['fr']}, x))) AS h_fr
-FROM t)
-SELECT doc_id AS id,
-  CASE WHEN GREATEST(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
-       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
-       WHEN h_es >= h_fr THEN 'es'
-       ELSE 'fr' END AS lang_pred
-FROM h""",
+        "mirror_hosts": """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS did, text FROM documents),
+pg AS (
+  SELECT 'h' || CAST(did % 23 AS VARCHAR) || '.test' AS host, md5(text) AS fp FROM d
+  UNION ALL
+  SELECT 'm' || CAST(did % 23 AS VARCHAR) || '.test', md5(text) FROM d WHERE did % 2 = 0
+  UNION ALL
+  SELECT 'h' || CAST(i AS VARCHAR) || '.test', md5('BOILERPLATE FOOTER') FROM range(23) t(i)
+  UNION ALL
+  SELECT 'm' || CAST(i AS VARCHAR) || '.test', md5('BOILERPLATE FOOTER') FROM range(23) t(i)
+),
+hf AS (SELECT DISTINCT host, fp FROM pg),
+keepfp AS (SELECT fp FROM hf GROUP BY fp HAVING COUNT(*) <= 10),
+k AS (SELECT hf.host, hf.fp FROM hf JOIN keepfp USING (fp)),
+sz AS (SELECT host, COUNT(*) AS sz FROM k GROUP BY host),
+pr AS (SELECT a.host AS host_a, b.host AS host_b, CAST(COUNT(*) AS BIGINT) AS shared
+       FROM k a JOIN k b ON a.fp = b.fp AND a.host < b.host
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT host_a, host_b, shared,
+  CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+  CAST(FLOOR((shared * 1000.0) / LEAST(sa.sz, sb.sz)) AS BIGINT) AS overlap_permille
+FROM pr JOIN sz sa ON sa.host = pr.host_a JOIN sz sb ON sb.host = pr.host_b""",
         "dedup_exact_md5": """
 SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
        COUNT(*) AS dup_count
@@ -1795,18 +1922,41 @@ r AS (SELECT doc_id, lang, text, n_tokens,
     AS score
 FROM b),
 surv AS (SELECT * FROM r WHERE score >= 0.5),
-keep AS (SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY md5(text))
-SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens
-FROM surv s JOIN keep k ON k.doc_id = s.doc_id
-GROUP BY s.lang""",
-        "fingerprints": f"""
-WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
-SELECT doc_id AS id,
-  CAST(COALESCE(list_sum(
-    [i * (CAST('0x' || substr(md5(toks[i]), 1, 12) AS BIGINT) % 1000000000000)
-     for i in range(1, len(toks) + 1)]), 0) AS BIGINT) AS fingerprint
-FROM t""",
+keep AS (SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY md5(text)),
+samp AS (
+  SELECT s.* FROM surv s JOIN keep k ON k.doc_id = s.doc_id
+  WHERE CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000000
+        < CASE s.lang WHEN 'en' THEN 400000 WHEN 'de' THEN 800000 ELSE 600000 END
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM samp GROUP BY lang""",
+        "near_dup_clusters": f"""
+WITH RECURSIVE t0 AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+t AS (SELECT doc_id, {shingles} AS sh FROM t0 WHERE len(toks) >= 3),
+sig AS (SELECT doc_id,
+  [list_aggregate(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || ' ' || s)), 'min')
+   for i in range(0, 8)] AS mhs FROM t),
+bands AS (
+  SELECT doc_id, band, md5(mhs[band * 2 + 1] || '|' || mhs[band * 2 + 2]) AS bh
+  FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band)
+),
+roots AS (SELECT band, bh, MIN(doc_id) AS root FROM bands GROUP BY band, bh),
+star AS (SELECT DISTINCT r.root AS src, b.doc_id AS dst
+         FROM bands b JOIN roots r ON r.band = b.band AND r.bh = b.bh
+         WHERE b.doc_id <> r.root),
+jac AS (SELECT s.src, s.dst,
+        len(list_intersect(ta.sh, tb.sh)) AS inter, len(ta.sh) AS sa, len(tb.sh) AS sb
+        FROM star s JOIN t ta ON ta.doc_id = s.src JOIN t tb ON tb.doc_id = s.dst),
+ver AS (SELECT src, dst FROM jac WHERE inter / (sa + sb - inter) >= 0.2),
+und AS (SELECT src, dst FROM ver UNION SELECT dst, src FROM ver),
+v AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+reach(id, lbl) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id
+)
+SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster FROM reach GROUP BY id""",
         "minhash_candidates": f"""
 WITH t0 AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 t AS (SELECT doc_id, {shingles} AS sh FROM t0 WHERE len(toks) >= 3),

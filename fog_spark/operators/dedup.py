@@ -89,21 +89,8 @@ def minhash_signatures(
     )
 
 
-def _lsh_buckets(
-    docs: DataFrame, text_col: str, id_col: str,
-    num_hashes: int, bands: int, shingle_n: int,
-) -> DataFrame:
-    """(id, band, bh) — each doc's LSH bucket key per band. Docs whose
-    shingle set is empty (texts shorter than one shingle) produce no
-    rows: they can never near-dup-match anything."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.xxhash64(*cols).alias(f"band_{b}"))
-    banded = sig.select("id", *band_cols)
+def _stack_bands(banded: DataFrame, bands: int) -> DataFrame:
+    """Pivot (id, band_0..band_{B-1}) into (id, band, bh) rows."""
     return banded.select(
         "id",
         F.explode(
@@ -113,6 +100,52 @@ def _lsh_buckets(
             ])
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
+
+
+def _md5_banded(
+    docs: DataFrame, text_col: str, id_col: str,
+    num_hashes: int, bands: int, shingle_n: int,
+) -> DataFrame:
+    """(id, band_0..band_{B-1}) with the md5-STRING hash family — slower
+    than xxhash64 but bit-portable to any SQL engine (DuckDB oracles
+    replay it exactly). Signatures per-row via array_min/transform: zero
+    shuffles before the band stage."""
+    rpb = num_hashes // bands
+    sh = F.array_distinct(shingle_col(F.col(text_col), shingle_n))
+    mh = [
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i} "), s)))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = docs.where(F.size(sh) > 0).select(F.col(id_col).alias("id"), *mh)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rpb + r}") for r in range(rpb)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return sig.select("id", *band_cols)
+
+
+def _lsh_buckets(
+    docs: DataFrame, text_col: str, id_col: str,
+    num_hashes: int, bands: int, shingle_n: int,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bh) — each doc's LSH bucket key per band. Docs whose
+    shingle set is empty (texts shorter than one shingle) produce no
+    rows: they can never near-dup-match anything. ``hash_fn``:
+    "xxhash64" (production, bh is a long) or "md5" (SQL-oracle-portable,
+    bh is a hex string)."""
+    assert num_hashes % bands == 0
+    if hash_fn == "md5":
+        banded = _md5_banded(docs, text_col, id_col, num_hashes, bands, shingle_n)
+        return _stack_bands(banded, bands)
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.xxhash64(*cols).alias(f"band_{b}"))
+    banded = sig.select("id", *band_cols)
+    return _stack_bands(banded, bands)
 
 
 def minhash_lsh_candidates(
@@ -134,6 +167,7 @@ def minhash_lsh_candidates(
 def lsh_star_edges(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(src, dst) spanning edges of the LSH-bucket co-membership graph:
     every bucket member links to the bucket's MIN id, never to each
@@ -151,7 +185,9 @@ def lsh_star_edges(
     """
     from pyspark.sql import Window
 
-    stacked = _lsh_buckets(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    stacked = _lsh_buckets(
+        docs, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
+    )
     w = Window.partitionBy("band", "bh")
     starred = stacked.select("id", F.min("id").over(w).alias("root"))
     return (
@@ -198,6 +234,7 @@ def near_dup_clusters(
     spark, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
     jaccard_threshold: float | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, cluster) — near-duplicate clusters over the whole corpus:
     MinHash -> LSH buckets -> star edges -> connected components
@@ -218,7 +255,9 @@ def near_dup_clusters(
     """
     from fog_spark.algos.cc_star import star_contraction_components
 
-    edges = lsh_star_edges(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    edges = lsh_star_edges(
+        docs, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
+    )
     if jaccard_threshold is not None:
         verified = jaccard_on_pairs(
             docs,
@@ -257,27 +296,9 @@ def minhash_md5_candidates(
     DuckDB oracle reproduces it exactly). Signatures are computed per-row
     with array_min/transform: zero shuffles until the band self-join."""
     assert num_hashes % bands == 0
-    rpb = num_hashes // bands
-    sh = F.array_distinct(shingle_col(F.col(text_col), shingle_n))
-    mh = [
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i} "), s)))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sig = docs.where(F.size(sh) > 0).select(F.col(id_col).alias("id"), *mh)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rpb + r}") for r in range(rpb)])).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    stacked = banded.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("e"),
-    ).select("id", "e.band", "e.bh")
+    stacked = _lsh_buckets(
+        docs, text_col, id_col, num_hashes, bands, shingle_n, hash_fn="md5"
+    )
     left = stacked.select(F.col("id").alias("id_a"), "band", "bh")
     right = stacked.select(F.col("id").alias("id_b"), "band", "bh")
     return (

@@ -59,6 +59,7 @@ def stratified_sample(
     fractions: dict | float,
     key: list[str] | str,
     default_fraction: float = 0.0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic hash-based stratified sampling — the corpus-curation
     primitive ("keep 10% of English, 100% of low-resource languages").
@@ -78,10 +79,26 @@ def stratified_sample(
     (use the stable document id / url, NOT the stratum).
 
     One scan, zero shuffles, whole-stage-codegen'd end to end.
+
+    ``hash_fn``: "xxhash64" (production) or "md5" (SQL-oracle-portable:
+    hex2int(md5(concat_ws('|', key...))[0:12]) % 1e6, replayable in any
+    engine with md5 — the same twin discipline as the portable minhash).
     """
     strata_cols = [strata] if isinstance(strata, str) else list(strata)
     key_cols = [key] if isinstance(key, str) else list(key)
-    h = pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(1_000_000))
+    if hash_fn == "md5":
+        h = pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(1_000_000),
+        )
+    else:
+        h = pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(1_000_000))
     if isinstance(fractions, dict):
         if len(strata_cols) != 1:
             raise ValueError("dict fractions require a single strata column")

@@ -38,6 +38,11 @@ from fog_spark.operators.snapshots import (  # noqa: F401
     latest_snapshots,
     page_change_stats,
 )
+from fog_spark.operators.linededup import (  # noqa: F401
+    frequent_lines,
+    line_df,
+    remove_duplicated_lines,
+)
 from fog_spark.operators.mirrors import host_fingerprints, mirror_hosts  # noqa: F401
 from fog_spark.operators.projection import co_project  # noqa: F401
 from fog_spark.operators.sampling import sample_neighbors, stratified_sample  # noqa: F401

@@ -32,6 +32,7 @@ ALGOS = (
     "pagerank-milli",
     "standard-pagerank",
     "cc",
+    "cc-warm",
     "cc-star",
     "bfs",
     "sssp",
@@ -111,6 +112,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warm-ranks", default=None,
                    help="parquet of (id, rank) from a previous standard-pagerank "
                         "run; required by --algo pagerank-warm")
+    p.add_argument("--warm-labels", default=None,
+                   help="parquet of (id, component) from a previous cc run; "
+                        "required by --algo cc-warm (edge ADDITIONS only — "
+                        "check edge-delta first). Optional --edges-added "
+                        "narrows the initial frontier to the delta endpoints")
+    p.add_argument("--edges-added", default=None,
+                   help="parquet of added (src, dst) edges for --algo cc-warm")
     p.add_argument("--edges-old", default=None,
                    help="previous capture's edge parquet; required by "
                         "--algo edge-delta (diffs it against --edges)")
@@ -134,6 +142,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--node2vec-p", type=float, default=1.0)
     p.add_argument("--node2vec-q", type=float, default=1.0)
     return p
+
+
+def _make_cc_warm(spark: SparkSession, args: argparse.Namespace):
+    from fog_spark.algos.components import WarmStartCC
+
+    prev = spark.read.parquet(
+        args.warm_labels or _die("--algo cc-warm requires --warm-labels")
+    ).select("id", "component")
+    added = (
+        spark.read.parquet(args.edges_added).select("src", "dst")
+        if args.edges_added
+        else None
+    )
+    return WarmStartCC(prev, added_edges=added)
 
 
 def _die(msg: str) -> str:
@@ -344,6 +366,7 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
             damping=args.damping,
         ),
         "cc": ConnectedComponents,
+        "cc-warm": lambda: _make_cc_warm(spark, args),
         "bfs": lambda: BFS(root=args.bfs_root),
         "sssp": lambda: SSSP(source=args.sssp_source),
         "lpa": lambda: LabelPropagation(max_iters=args.lpa_iters),

@@ -10,7 +10,7 @@ from fog_spark.algos.pagerank import (  # noqa: F401
 from fog_spark.algos.salsa import salsa_milli  # noqa: F401
 from fog_spark.algos.spam import UniformPageRankMilli, spam_mass_milli  # noqa: F401
 from fog_spark.algos.bowtie import bowtie, bowtie_census  # noqa: F401
-from fog_spark.algos.components import ConnectedComponents  # noqa: F401
+from fog_spark.algos.components import ConnectedComponents, WarmStartCC  # noqa: F401
 from fog_spark.algos.kcore import coreness, k_core  # noqa: F401
 from fog_spark.algos.ktruss import k_truss  # noqa: F401
 from fog_spark.algos.lpa import LabelPropagation  # noqa: F401

@@ -1344,10 +1344,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stopword_ratio",
             "quality_score",
         )
+        from fog_spark.operators.text import pretoken_count
+
+        pt = d.select(
+            F.col("doc_id").alias("id"),
+            pretoken_count(F.col("text")).alias("n_pretokens"),
+        )
         return (
             q.join(repetition_features(d), "id")
             .join(lang_id(d), "id")
             .join(doc_fingerprint_portable(d), "id")
+            .join(pt, "id")
         )
 
     def dedup_exact_md5(spark, sf):
@@ -1744,6 +1751,11 @@ fp AS (SELECT doc_id,
   CAST(COALESCE(list_sum(
     [i * (CAST('0x' || substr(md5(toks[i]), 1, 12) AS BIGINT) % 1000000000000)
      for i in range(1, len(toks) + 1)]), 0) AS BIGINT) AS fingerprint
+FROM t),
+pt AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{{1,3}}| ?[^\\sA-Za-z0-9]+'))
+    AS BIGINT) AS n_pretokens
 FROM t)
 SELECT r.doc_id AS id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
   mean_token_len, alpha_ratio, punct_ratio, stopword_ratio,
@@ -1751,9 +1763,10 @@ SELECT r.doc_id AS id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGI
     + LEAST(stopword_ratio * 5.0, 1.0) * 0.2
     + (1.0 - LEAST(punct_ratio * 10.0, 1.0)) * 0.1 AS quality_score,
   rep.dup_token_ratio, rep.top_bigram_frac, rep.top_trigram_frac, rep.dup_line_ratio,
-  lg.lang_pred, fp.fingerprint
+  lg.lang_pred, fp.fingerprint, pt.n_pretokens
 FROM r JOIN rep ON r.doc_id = rep.doc_id
-JOIN lg ON lg.doc_id = r.doc_id JOIN fp ON fp.doc_id = r.doc_id"""
+JOIN lg ON lg.doc_id = r.doc_id JOIN fp ON fp.doc_id = r.doc_id
+JOIN pt ON pt.doc_id = r.doc_id"""
 
     return {
         "text_scans": (

@@ -219,6 +219,31 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         n = minhash_lsh_candidates(docs, num_hashes=16, bands=4).count()
         return {"candidates": int(n)}
 
+    def q_dedup_clusters():
+        # full fuzzy-dedup composition (production xxhash64 path):
+        # MinHash -> LSH star edges -> star-contraction CC -> keeper count
+        from fog_spark.operators.dedup import near_dup_clusters
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cl = near_dup_clusters(spark, docs, num_hashes=16, bands=4)
+        n_clusters = cl.select("cluster").distinct().count()
+        return {"docs": int(cl.count()), "clusters": int(n_clusters)}
+
+    def q_line_dedup():
+        # corpus-wide boilerplate-line removal with two planted lines on
+        # every doc (so the removal path actually fires at scale)
+        from fog_spark.operators.linededup import remove_duplicated_lines
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        planted = docs.withColumn(
+            "text",
+            F.concat(F.lit("COOKIE BANNER\n"), "text", F.lit("\nSITE FOOTER")),
+        )
+        row = remove_duplicated_lines(planted, min_df=2).agg(
+            F.count("*").alias("n"), F.sum("n_lines_removed").alias("rm")
+        ).collect()[0]
+        return {"docs": int(row["n"]), "lines_removed": int(row["rm"])}
+
     def q_doc_stats():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         row = quality_features(docs).agg(
@@ -329,6 +354,8 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         "walks8": q_walks8,
         "host_pagerank": q_host_pagerank,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "line_dedup": q_line_dedup,
         "doc_stats": q_doc_stats,
         "cosine_topk": q_cosine_topk,
         "corpus_prep": q_corpus_prep,

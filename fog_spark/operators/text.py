@@ -40,6 +40,23 @@ def bpe_ish_piece_count(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer (Radford et al. 2019, public regex), ASCII
+# form so Java regex (Spark) and RE2 (DuckDB) agree match-for-match:
+# contraction suffixes | space?-letters | space?-digit-chunks(<=3, the
+# GPT-4-style number split) | space?-symbol-runs. Whitespace itself is
+# never a piece (real BPE folds it into the next token's leading space).
+PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^\sA-Za-z0-9]+"
+
+
+def pretoken_count(text: Column) -> Column:
+    """Count of GPT-2-style pre-tokenizer pieces — the budget number a
+    training pipeline actually schedules by (BPE merges only ever split
+    WITHIN a pre-token, so this is a tight, deterministic lower bound on
+    subword count at ~zero cost: one codegen'd regexp scan, no vocab).
+    """
+    return F.size(F.regexp_extract_all(text, F.lit(PRETOKEN_RE), 0)).cast("long")
+
+
 def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, n_chars, n_tokens, mean_token_len, alpha_ratio, punct_ratio,
     stopword_ratio, quality_score) — classic cheap quality signals."""

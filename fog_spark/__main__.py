@@ -73,7 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--algo", "-a", required=True, choices=ALGOS)
     p.add_argument("--edges", "-g", required=True,
                    help="edge table path (parquet dir, SNAP edge-list/adj-list text, or pages parquet)")
-    p.add_argument("--format", choices=("parquet", "edgelist", "adjlist", "pages"),
+    p.add_argument("--format", choices=("parquet", "edgelist", "adjlist", "pages", "warc"),
                    default="parquet")
     p.add_argument("--weighted", action="store_true",
                    help="edgelist only: parse a third weight column")
@@ -163,7 +163,12 @@ def _die(msg: str) -> str:
 
 
 def _load_pages(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
-    pages = spark.read.parquet(args.edges)
+    if args.format == "warc":
+        from fog_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.edges)
+    else:
+        pages = spark.read.parquet(args.edges)
     if args.collapse_snapshots:
         from fog_spark.operators.snapshots import latest_snapshots
 

@@ -180,18 +180,24 @@ def lsh_star_edges(
     connected components of the star graph are EXACTLY the components of
     the all-pairs bucket graph (every member is connected through the
     bucket min; pytest pins the partition equality against a brute-force
-    all-pairs union-find). One window min per bucket — a single exchange
-    on (band, bh), no self-join at all.
-    """
-    from pyspark.sql import Window
+    all-pairs union-find).
 
+    Bucket minima via groupBy + join-back rather than a window min: the
+    groupBy gets map-side partial aggregation (a degenerate bucket
+    collapses to one row per map task before the exchange) and the
+    join-back is a plain equi-join AQE can skew-split, whereas a window
+    over (band, bh) would sort ALL copies of a hot bucket inside one
+    task with no combine — the single-task trap every other degenerate
+    guard here avoids. The bucket exchange is shared between the two
+    branches (ReusedExchange).
+    """
     stacked = _lsh_buckets(
         docs, text_col, id_col, num_hashes, bands, shingle_n, hash_fn
     )
-    w = Window.partitionBy("band", "bh")
-    starred = stacked.select("id", F.min("id").over(w).alias("root"))
+    roots = stacked.groupBy("band", "bh").agg(F.min("id").alias("root"))
     return (
-        starred.where(F.col("id") != F.col("root"))
+        stacked.join(roots, ["band", "bh"])
+        .where(F.col("id") != F.col("root"))
         .select(F.col("root").alias("src"), F.col("id").alias("dst"))
         .distinct()
     )

@@ -62,6 +62,7 @@ ALGOS = (
     "anchor-text",
     "effective-diameter",
     "spam-mass",
+    "katz",
 )
 
 
@@ -264,6 +265,7 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         ConnectedComponents,
         FogPageRank,
         FogPageRankMilli,
+        KatzMilli,
         LabelPropagation,
         PPRMilli,
         StandardPageRank,
@@ -381,6 +383,7 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
             niters=args.ppr_niters,
         ),
         "wpagerank-milli": lambda: WeightedPageRankMilli(niters=args.pagerank_niters),
+        "katz": lambda: KatzMilli(niters=args.pagerank_niters),
     }[args.algo]()
     kw = {}
     if args.hub_cap is not None:

@@ -7,6 +7,7 @@ from fog_spark.algos.pagerank import (  # noqa: F401
     TrustRankMilli,
     WarmStartPageRank,
 )
+from fog_spark.algos.katz import KatzMilli  # noqa: F401
 from fog_spark.algos.salsa import salsa_milli  # noqa: F401
 from fog_spark.algos.spam import UniformPageRankMilli, spam_mass_milli  # noqa: F401
 from fog_spark.algos.bowtie import bowtie, bowtie_census  # noqa: F401

@@ -1695,6 +1695,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ------------------------------------------------------------- oracle SQL
 
+def _pretoken_re_sql() -> str:
+    """The EXACT pre-tokenizer regex the Spark side uses, SQL-quoted —
+    one source of truth so the engines cannot drift."""
+    from fog_spark.operators.text import PRETOKEN_RE
+
+    return PRETOKEN_RE.replace("'", "''")
+
+
 def oracle_sql() -> dict[str, str]:
     stop = {
         "de": "['der','die','das','und','ist','nicht','ein','mit','auf','von']",
@@ -1753,8 +1761,7 @@ fp AS (SELECT doc_id,
      for i in range(1, len(toks) + 1)]), 0) AS BIGINT) AS fingerprint
 FROM t),
 pt AS (SELECT doc_id,
-  CAST(len(regexp_extract_all(text,
-    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{{1,3}}| ?[^\\sA-Za-z0-9]+'))
+  CAST(len(regexp_extract_all(text, '{_pretoken_re_sql()}'))
     AS BIGINT) AS n_pretokens
 FROM t)
 SELECT r.doc_id AS id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,

@@ -226,8 +226,11 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         cl = near_dup_clusters(spark, docs, num_hashes=16, bands=4)
-        n_clusters = cl.select("cluster").distinct().count()
-        return {"docs": int(cl.count()), "clusters": int(n_clusters)}
+        # one action: a second count() would re-run the whole CC loop
+        row = cl.agg(
+            F.count("*").alias("n"), F.countDistinct("cluster").alias("c")
+        ).collect()[0]
+        return {"docs": int(row["n"]), "clusters": int(row["c"])}
 
     def q_line_dedup():
         # corpus-wide boilerplate-line removal with two planted lines on

@@ -204,8 +204,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         # weighted host PageRank; wants the raw pages table, not edges
         from fog_spark.operators.hostgraph import host_pagerank_milli
 
-        if args.format != "pages":
-            raise SystemExit("--algo host-pagerank requires --format pages")
+        if args.format not in ("pages", "warc"):
+            raise SystemExit("--algo host-pagerank requires --format pages|warc")
         pages = _load_pages(spark, args)
         return host_pagerank_milli(
             spark, pages, niters=args.pagerank_niters, resolve=args.resolve_links
@@ -215,8 +215,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         # pages -> per-target inlink counts + top-k anchor texts
         from fog_spark.operators.anchortext import anchor_text_rollup
 
-        if args.format != "pages":
-            raise SystemExit("--algo anchor-text requires --format pages")
+        if args.format not in ("pages", "warc"):
+            raise SystemExit("--algo anchor-text requires --format pages|warc")
         pages = _load_pages(spark, args)
         return anchor_text_rollup(pages, k=args.anchor_topk)
 
@@ -225,8 +225,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         # the prioritized fetch queue (operators/crawl.py)
         from fog_spark.operators.crawl import crawl_frontier
 
-        if args.format != "pages":
-            raise SystemExit("--algo crawl-frontier requires --format pages")
+        if args.format not in ("pages", "warc"):
+            raise SystemExit("--algo crawl-frontier requires --format pages|warc")
         pages = _load_pages(spark, args)
         return crawl_frontier(
             pages,
@@ -242,8 +242,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         # back to their host names
         from fog_spark.operators.hostgraph import host_graph
 
-        if args.format != "pages":
-            raise SystemExit("--host-rollup requires --format pages")
+        if args.format not in ("pages", "warc"):
+            raise SystemExit("--host-rollup requires --format pages|warc")
         pages = _load_pages(spark, args)
         dim, e = host_graph(pages, resolve=args.resolve_links)
     else:

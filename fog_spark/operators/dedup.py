@@ -138,6 +138,8 @@ def _lsh_buckets(
     if hash_fn == "md5":
         banded = _md5_banded(docs, text_col, id_col, num_hashes, bands, shingle_n)
         return _stack_bands(banded, bands)
+    if hash_fn != "xxhash64":
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'xxhash64' or 'md5')")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
     band_cols = []

@@ -46,8 +46,9 @@ def line_df(
     line, counting each line once per document (a footer pasted 50x in
     ONE page is repetition, not cross-document boilerplate — that signal
     belongs to repetition_features)."""
+    # per-row array_distinct makes the once-per-document semantics; no id
+    # column is needed after it (id_col kept for signature symmetry)
     lines = docs.select(
-        F.col(id_col).alias("_id"),
         F.explode(
             F.array_distinct(
                 F.filter(F.split(F.col(text_col), r"\n"), lambda x: F.length(x) > 0)

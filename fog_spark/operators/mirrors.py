@@ -43,7 +43,14 @@ def host_fingerprints(
             host_of(F.col(url_col)).alias("host"),
             F.md5(F.col(text_col).cast("binary")).alias("fp"),
         )
-        .where(F.col("host").isNotNull() & F.col("fp").isNotNull())
+        # host_of returns '' (not null) for relative/malformed URLs —
+        # exclude those too, or every such page collapses into a fake
+        # '' host that pairs against real hosts
+        .where(
+            F.col("host").isNotNull()
+            & (F.col("host") != "")
+            & F.col("fp").isNotNull()
+        )
         .distinct()
     )
 

@@ -86,6 +86,8 @@ def stratified_sample(
     """
     strata_cols = [strata] if isinstance(strata, str) else list(strata)
     key_cols = [key] if isinstance(key, str) else list(key)
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (use 'xxhash64' or 'md5')")
     if hash_fn == "md5":
         h = pmod(
             F.conv(

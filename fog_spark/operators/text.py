@@ -45,7 +45,11 @@ def bpe_ish_piece_count(text: Column) -> Column:
 # contraction suffixes | space?-letters | space?-digit-chunks(<=3, the
 # GPT-4-style number split) | space?-symbol-runs. Whitespace itself is
 # never a piece (real BPE folds it into the next token's leading space).
-PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^\sA-Za-z0-9]+"
+# Whitespace is spelled as an EXPLICIT class, not \s: Java's \s includes
+# \x0B (vertical tab) while RE2's does not, so \s would silently
+# misalign the two engines on VT-bearing crawl text.
+_WS = " \\t\\n\\x0B\\f\\r"
+PRETOKEN_RE = rf"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{{1,3}}| ?[^{_WS}A-Za-z0-9]+"
 
 
 def pretoken_count(text: Column) -> Column:

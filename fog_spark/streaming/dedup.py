@@ -42,7 +42,10 @@ PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang st
 
 def _fingerprinted(spark: SparkSession, pages_dir: str, schema: str | None) -> DataFrame:
     pages = spark.readStream.schema(schema or PAGES_SCHEMA).parquet(pages_dir)
-    return pages.select(
+    # rows with no capture timestamp are dropped: they cannot participate
+    # in first-arrival ordering (and a NaT->int64 cast would otherwise
+    # yield INT64_MIN, silently hijacking the first-arrival slot forever)
+    return pages.where(F.col("warc_ts").isNotNull()).select(
         "url", "warc_ts", "text", F.md5(F.col("text").cast("binary")).alias("fp")
     )
 

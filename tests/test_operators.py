@@ -425,3 +425,34 @@ def test_repetition_features_oracle(spark):
     # the spam doc must dominate every signal the clean doc is low on
     assert got[1][1] > 0.3 and got[2][1] < 0.15
     assert got[3][0] > 0.8 and got[2][0] < 0.2
+
+
+def test_pretoken_count_portable_incl_vertical_tab(spark):
+    # cross-engine pin for the doc_stats gate column: Spark (Java regex)
+    # and DuckDB (RE2) must count the same pieces — including on \x0b
+    # (vertical tab), where a bare \s class would diverge (Java \s has
+    # VT, RE2 \s does not)
+    import duckdb
+
+    from fog_spark.operators.text import PRETOKEN_RE, pretoken_count
+    from pyspark.sql import functions as F
+
+    texts = [
+        "Hello world, it's 12345 tokens... don't!",
+        "vertical\x0btab and form\x0cfeed",
+        "",
+        "   ",
+        "a1234b &&& x",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", pretoken_count(F.col("t")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    sql_re = PRETOKEN_RE.replace("'", "''")
+    for i, t in enumerate(texts):
+        want = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{sql_re}'))", [t]
+        ).fetchone()[0]
+        assert got[i] == want, (i, t, got[i], want)

@@ -82,6 +82,7 @@ def spam_mass_milli(
     trust_seeds: list[int] | tuple[int, ...],
     niters: int = 8,
     engine=None,
+    materializer=None,
 ) -> DataFrame:
     """``(id, pr_milli, trust_milli, spam_permille)`` — spam_permille in
     [-inf, 1000]: ~1000 = rank with no trusted support (spam-shaped),
@@ -89,25 +90,29 @@ def spam_mass_milli(
     Vertices with pr = 0 (unreachable, teleport-only never happens here
     since every vertex teleports) cannot occur; the recurrence gives
     pr >= 150_000 after iteration 1.
+
+    ``materializer``: a plans.materialize.Materializer. When given, the
+    scored frame is eagerly checkpointed through it and the two engine
+    state caches are reclaimed before returning (library-call hygiene —
+    same discipline as hostgraph.host_pagerank_milli); when omitted the
+    lazy frame keeps both cached states alive until the session drops
+    them.
     """
     if engine is None:
         from fog_spark.plans.engine import ScatterGatherEngine
 
         engine = ScatterGatherEngine(spark, checkpoint_dir=None, collect_lineage=False)
-    pr = (
-        engine.run(UniformPageRankMilli(niters=niters), edges, max_iters=niters)
-        .state.select("id", F.col("rank_milli").alias("pr_milli"))
+    res_pr = engine.run(UniformPageRankMilli(niters=niters), edges, max_iters=niters)
+    pr = res_pr.state.select("id", F.col("rank_milli").alias("pr_milli"))
+    res_tr = engine.run(
+        TrustRankMilli(seeds=trust_seeds, niters=niters), edges, max_iters=niters
     )
-    tr = (
-        engine.run(TrustRankMilli(seeds=trust_seeds, niters=niters), edges,
-                   max_iters=niters)
-        .state.select("id", F.col("rank_milli").alias("tr_raw"))
-    )
+    tr = res_tr.state.select("id", F.col("rank_milli").alias("tr_raw"))
     joined = pr.join(tr, "id")
     sums = joined.agg(
         F.sum("pr_milli").alias("s_pr"), F.sum("tr_raw").alias("s_tr")
     )
-    return (
+    out = (
         joined.crossJoin(F.broadcast(sums))
         .select(
             "id",
@@ -127,3 +132,8 @@ def spam_mass_milli(
             .alias("spam_permille"),
         )
     )
+    if materializer is not None:
+        out = materializer.checkpoint(out)
+        engine.mat.free(res_pr.state)
+        engine.mat.free(res_tr.state)
+    return out

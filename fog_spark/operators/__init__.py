@@ -25,6 +25,7 @@ from fog_spark.operators.hostgraph import (  # noqa: F401
     host_link_counts,
     host_of,
     host_pagerank_milli,
+    host_spam_mass,
 )
 from fog_spark.operators.crawl import (  # noqa: F401
     crawl_frontier,

@@ -134,3 +134,44 @@ def host_pagerank_milli(
     eng.mat.free(res.state)
     M.free(edges)
     return out
+
+
+def host_spam_mass(
+    spark,
+    pages: DataFrame,
+    trust_hosts: list[str] | tuple[str, ...],
+    niters: int = 8,
+    resolve: bool = False,
+) -> DataFrame:
+    """(host, pr_milli, trust_milli, spam_permille): spam mass computed
+    where spam detection actually operates — the HOST graph (Gyongyi et
+    al. seed trusted SITES, not pages). Trusted hosts are named by
+    string; hosts absent from the graph are ignored (a warning-free
+    no-op, the whitelist shape). Same reclaim discipline as
+    host_pagerank_milli: one host-sized output frame survives."""
+    from fog_spark.algos.spam import spam_mass_milli
+    from fog_spark.plans.engine import ScatterGatherEngine
+    from fog_spark.plans.materialize import Materializer
+
+    if not trust_hosts:
+        raise ValueError("trust_hosts must be non-empty")
+    M = Materializer(spark)
+    dim, edges = host_graph(pages, resolve=resolve, materializer=M)
+    seeds = [
+        int(r["id"])
+        for r in dim.where(F.col("host").isin(list(trust_hosts))).collect()
+    ]
+    if not seeds:
+        M.free(edges)
+        raise ValueError("none of trust_hosts appear in the host graph")
+    eng = ScatterGatherEngine(spark, checkpoint_dir=None, collect_lineage=False)
+    sm = spam_mass_milli(
+        spark, edges, trust_seeds=seeds, niters=niters, engine=eng, materializer=M
+    )
+    out = M.checkpoint(
+        sm.join(F.broadcast(dim), sm["id"] == dim["id"])
+        .select("host", "pr_milli", "trust_milli", "spam_permille")
+    )
+    M.free(sm)
+    M.free(edges)
+    return out

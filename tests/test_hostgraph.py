@@ -103,3 +103,33 @@ def test_cli_host_pagerank(spark, tmp_path):
 
 def _hostn(k: int, n_docs: int) -> str:
     return f"site{k % n_sites_for(n_docs)}.example"
+
+
+def test_host_spam_mass_composes(spark):
+    import pytest
+
+    from fog_spark.operators.hostgraph import host_spam_mass
+
+    pages = generate_pages(spark, N_DOCS)
+    trusted = [_host(0), _host(1)]
+    rows = host_spam_mass(spark, pages, trust_hosts=trusted, niters=4).collect()
+    got = {r["host"]: r for r in rows}
+    assert set(got) == {_host(k) for k in range(N_DOCS)}
+    # rescaled trust mass ~= rank mass (equal up to the integer-div slack)
+    s_pr = sum(r["pr_milli"] for r in rows)
+    s_tr = sum(r["trust_milli"] for r in rows)
+    assert 0 <= s_pr - s_tr <= len(rows) * 2
+    # trusted seeds hold trust-sourced mass; spam_permille caps at 1000
+    for h in trusted:
+        assert got[h]["trust_milli"] > 0
+    assert all(r["spam_permille"] <= 1000 for r in rows)
+    # deterministic across runs
+    again = {
+        r["host"]: r["spam_permille"]
+        for r in host_spam_mass(spark, pages, trust_hosts=trusted, niters=4).collect()
+    }
+    assert again == {h: r["spam_permille"] for h, r in got.items()}
+    with pytest.raises(ValueError):
+        host_spam_mass(spark, pages, trust_hosts=[])
+    with pytest.raises(ValueError):
+        host_spam_mass(spark, pages, trust_hosts=["not-a-host.test"])

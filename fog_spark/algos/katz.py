@@ -14,11 +14,14 @@ the two are ranked together in link-analysis audits).
 
 Integer-milli twin discipline: alpha as alpha_milli/1000, beta = 1000
 exactly, contrib = (alpha_milli * (x + 1000)) div 1000 — bit-exact on
-any engine, pytest-replayed by a pure-Python fold. Overflow bound: |x|
-grows by at most a factor (alpha * max_indegree-ish) per round; with
-the default alpha = 0.1, graphs with max degree < 10_000 keep every
-intermediate far inside int64 for the default 8 rounds (the classic
-convergence requirement alpha < 1/lambda_max is stronger still).
+any engine, pytest-replayed by a pure-Python fold. Overflow bound:
+x_t <= beta * (alpha * d_max)^t with d_max the max in-degree, so int64
+(~9.2e18, i.e. ~9.2e15 * beta) holds through t rounds iff
+(alpha * d_max)^t <= ~9.2e15 — at the default alpha = 0.1 and 8
+rounds that is d_max <= ~1000, NOT 10^4; pick a smaller alpha_milli
+for hubbier graphs (alpha < 1/lambda_max, the classic convergence
+requirement, is stronger still and degree-aware). Sessions here run
+ANSI mode, so an overflow THROWS loudly rather than wrapping.
 
 Not in the reference (its family stops at PageRank variants,
 /root/reference/TODO.list:16-21); standard published semantics. Engine

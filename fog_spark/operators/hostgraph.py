@@ -157,9 +157,12 @@ def host_spam_mass(
         raise ValueError("trust_hosts must be non-empty")
     M = Materializer(spark)
     dim, edges = host_graph(pages, resolve=resolve, materializer=M)
+    # host_of lowercases every host — fold the seed list the same way or
+    # a mixed-case whitelist entry silently drops out of the trust core
+    wanted = [h.lower() for h in trust_hosts]
     seeds = [
         int(r["id"])
-        for r in dim.where(F.col("host").isin(list(trust_hosts))).collect()
+        for r in dim.where(F.col("host").isin(wanted)).collect()
     ]
     if not seeds:
         M.free(edges)

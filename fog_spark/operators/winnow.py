@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fog_spark.operators.text import _WS
+
 
 def winnow_fingerprints(
     docs: DataFrame, k: int = 8, w: int = 4,
@@ -48,9 +50,12 @@ def winnow_fingerprints(
     no rows."""
     if k < 2 or w < 1:
         raise ValueError("need k >= 2 and w >= 1")
+    # explicit ASCII whitespace class, not \s: Java's \s and Python's
+    # Unicode \s disagree (VT, NBSP), and the pytest oracle must replay
+    # normalization byte-for-byte (same trap as text.PRETOKEN_RE)
     norm = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_t"),
+        F.regexp_replace(F.lower(F.col(text_col)), f"[{_WS}]+", " ").alias("_t"),
     )
     n_grams = F.length("_t") - F.lit(k - 1)
     hashed = norm.select(
@@ -92,7 +97,11 @@ def winnow_overlap_pairs(
     ignoring fingerprints present in more than ``max_fp_df`` documents.
     overlap_permille = 1000 * shared / min(sizes) over KEPT fingerprints
     (containment of the smaller fingerprint set)."""
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    # fps feeds both the df-cap aggregation and the semi-join lineage;
+    # without a cache the O(n*(k+w)) per-row fingerprint pipeline runs
+    # twice (plain persist — the no-materializer convention of
+    # hostgraph.host_graph; one-shot callers leave cleanup to the session)
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col).persist()
     kept_fp = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("_df"))

@@ -26,8 +26,9 @@ any cluster, but a single huge WARC would serialize. The production
 upgrade is a splittable datasource that seeks to gzip-member boundaries
 (each record is its own member precisely so ranges are splittable);
 that needs a custom DataSource V2 JVM reader and is out of scope in
-this sandbox. The per-file memory bound is one decompressed record at a
-time plus the compressed file bytes binaryFile hands us.
+this sandbox. The per-task memory bound is one Arrow chunk of
+``_CHUNK_RECORDS`` decompressed records plus the compressed file bytes
+binaryFile hands us — never the whole decompressed segment.
 """
 
 from __future__ import annotations
@@ -71,6 +72,9 @@ def _parse_warc_stream(stream, fname: str) -> Iterator[dict]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             continue  # unrecoverable header block — resync on next version line
+        if length < 0:
+            # read(-1) would swallow the rest of the file as one payload
+            continue
         payload = stream.read(length)
         body = payload
         if headers.get("warc-type") == "response" and payload[:5] in (b"HTTP/",):
@@ -88,7 +92,27 @@ def _parse_warc_stream(stream, fname: str) -> Iterator[dict]:
         }
 
 
+# records per emitted Arrow batch: bounds executor-Python memory to
+# ~CHUNK decompressed payloads (+ the compressed file bytes binaryFile
+# hands us) instead of a whole ~5 GB decompressed segment at once
+_CHUNK_RECORDS = 1024
+
+_COLUMNS = [
+    "url", "warc_ts", "html", "warc_type",
+    "record_id", "content_type", "warc_file",
+]
+
+
+def _to_pdf(out: list[dict]) -> pd.DataFrame:
+    df = pd.DataFrame(out, columns=_COLUMNS)
+    # force a real datetime dtype (an object column of Timestamps —
+    # or an all-object empty frame — trips the Arrow converter)
+    df["warc_ts"] = pd.to_datetime(df["warc_ts"])
+    return df
+
+
 def _records_from_binary(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    emitted = False
     for pdf in batch_iter:
         out: list[dict] = []
         for path, content in zip(pdf["path"], pdf["content"]):
@@ -102,17 +126,13 @@ def _records_from_binary(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                 ts = pd.to_datetime(rec.pop("warc_date"), utc=True, errors="coerce")
                 rec["warc_ts"] = None if ts is pd.NaT else ts.tz_localize(None)
                 out.append(rec)
-        df = pd.DataFrame(
-            out,
-            columns=[
-                "url", "warc_ts", "html", "warc_type",
-                "record_id", "content_type", "warc_file",
-            ],
-        )
-        # force a real datetime dtype (an object column of Timestamps —
-        # or an all-object empty frame — trips the Arrow converter)
-        df["warc_ts"] = pd.to_datetime(df["warc_ts"])
-        yield df
+                if len(out) >= _CHUNK_RECORDS:
+                    yield _to_pdf(out)
+                    emitted = True
+                    out = []
+        if out or not emitted:
+            yield _to_pdf(out)
+            emitted = True
 
 
 def read_warc(

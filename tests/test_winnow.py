@@ -12,7 +12,9 @@ K, W = 8, 4
 
 
 def _norm(text):
-    return re.sub(r"\s+", " ", text.lower())
+    # explicit ASCII class matching the operator (Python's \s is Unicode
+    # and would diverge from Java's on NBSP; Java's \s has VT, RE2's not)
+    return re.sub(r"[ \t\n\x0B\f\r]+", " ", text.lower())
 
 
 def _py_winnow(text, k=K, w=W):
@@ -32,6 +34,9 @@ DOCS = [
     (2, "No overlap with anything else in this corpus at all, promise."),
     (3, "tiny"),  # shorter than one window, >= one k-gram
     (4, "ab"),  # shorter than one k-gram -> no fingerprints
+    # NBSP must survive normalization (not ASCII whitespace) and VT must
+    # collapse — pins Spark/Python agreement on the explicit class
+    (5, "nbsp kept\x0bvt collapsed, wholly unique filler phrase"),
 ]
 
 

@@ -47,5 +47,6 @@ from fog_spark.operators.linededup import (  # noqa: F401
 from fog_spark.operators.mirrors import host_fingerprints, mirror_hosts  # noqa: F401
 from fog_spark.operators.winnow import winnow_fingerprints, winnow_overlap_pairs  # noqa: F401
 from fog_spark.operators.projection import co_project  # noqa: F401
+from fog_spark.operators.robots import frontier_allowed, parse_robots  # noqa: F401
 from fog_spark.operators.sampling import sample_neighbors, stratified_sample  # noqa: F401
 from fog_spark.operators.walks import random_walks  # noqa: F401

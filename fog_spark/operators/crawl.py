@@ -29,6 +29,7 @@ def crawl_frontier(
     niters: int = 8,
     per_host_cap: int | None = None,
     resolve: bool = True,
+    robots_rules: DataFrame | None = None,
 ) -> DataFrame:
     """(dst_url, host, n_refs, host_rank_milli) for every kept link
     target absent from the crawl. The priority order is
@@ -38,7 +39,10 @@ def crawl_frontier(
     top-N must apply that orderBy itself (a full sort of the frontier
     is deliberately not forced on callers who write or cap it instead).
     ``resolve=False`` trusts hrefs to be absolute and canonical
-    (fixture pages); real HTML wants the default."""
+    (fixture pages); real HTML wants the default. ``robots_rules``: a
+    (host, allow, prefix) frame from operators/robots.parse_robots —
+    candidates a wildcard-agent rule disallows are removed BEFORE the
+    per-host cap, so a blocked url never displaces a fetchable one."""
     from fog_spark.algos import WeightedPageRankMilli
     from fog_spark.plans.engine import ScatterGatherEngine
 
@@ -89,6 +93,17 @@ def crawl_frontier(
     )
     eng.mat.free(res.state)
     M.free(edges)
+    if robots_rules is not None:
+        from fog_spark.operators.robots import frontier_allowed
+
+        candidates = (
+            frontier_allowed(
+                candidates.withColumnRenamed("dst_url", "url"), robots_rules
+            )
+            .where(F.col("allowed"))
+            .drop("allowed")
+            .withColumnRenamed("url", "dst_url")
+        )
     out = candidates.join(F.broadcast(host_rank), "host", "left").select(
         "dst_url",
         "host",

@@ -48,5 +48,6 @@ from fog_spark.operators.mirrors import host_fingerprints, mirror_hosts  # noqa:
 from fog_spark.operators.winnow import winnow_fingerprints, winnow_overlap_pairs  # noqa: F401
 from fog_spark.operators.projection import co_project  # noqa: F401
 from fog_spark.operators.robots import frontier_allowed, parse_robots  # noqa: F401
+from fog_spark.operators.sitemaps import parse_sitemaps, sitemap_frontier_seeds  # noqa: F401
 from fog_spark.operators.sampling import sample_neighbors, stratified_sample  # noqa: F401
 from fog_spark.operators.walks import random_walks  # noqa: F401

@@ -1397,7 +1397,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def minhash_candidates(spark, sf):
-        return minhash_md5_candidates(_docs(spark, sf), num_hashes=8, bands=4, shingle_n=3)
+        # bucket_cap=2 is BELOW sf0.01's largest band bucket (3 docs), so
+        # the degenerate-bucket cap-and-chain path (dedup.py module doc)
+        # runs UNDER the DuckDB hash check — the oracle replays the same
+        # window-rank chain. Production default is 2000/8.
+        return minhash_md5_candidates(
+            _docs(spark, sf), num_hashes=8, bands=4, shingle_n=3,
+            bucket_cap=2, chain_window=1,
+        )
 
     def near_dup_clusters_q(spark, sf):
         # the full fuzzy-dedup composition under one oracle: md5-portable
@@ -1467,10 +1474,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # md5-portable 48-bit twin (3x16-bit banding): every step is exact
         # integer math DuckDB reproduces -> hash-checked. The xxhash64
         # 64-bit simhash_near_dups is the production fast path (pytest).
+        # bucket_cap=16 is BELOW sf0.01's hottest chunk bucket (28 docs),
+        # so the cap-and-chain degenerate guard runs under the oracle.
         from fog_spark.operators.dedup import simhash_md5_near_dups
 
         return simhash_md5_near_dups(
-            _docs(spark, sf), max_hamming=8, id_col="doc_id"
+            _docs(spark, sf), max_hamming=8, id_col="doc_id",
+            bucket_cap=16, chain_window=4,
         ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
     def lsh_ann_topk_ids(spark, sf):
@@ -1986,9 +1996,21 @@ sig AS (SELECT doc_id,
 bands AS (
   SELECT doc_id, band, md5(mhs[band * 2 + 1] || '|' || mhs[band * 2 + 2]) AS bh
   FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band)
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""",
+),
+sized AS (SELECT doc_id, band, bh, COUNT(*) OVER (PARTITION BY band, bh) AS bsz FROM bands),
+-- degenerate-bucket cap+chain (cap=2, window=1), replaying the Spark side
+small AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sized a JOIN sized b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+          WHERE a.bsz <= 2),
+rk AS (SELECT doc_id, band, bh,
+         ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rk
+       FROM sized WHERE bsz > 2),
+big AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rk a JOIN rk b ON a.band = b.band AND a.bh = b.bh
+          AND b.rk > a.rk AND b.rk <= a.rk + 1)
+SELECT DISTINCT id_a, id_b
+FROM (SELECT * FROM small UNION ALL SELECT * FROM big)""",
         "jaccard_pairs": f"""
 WITH t0 AS (SELECT doc_id, {TOKS} AS toks FROM documents),
 t AS (SELECT doc_id, {shingles} AS sh FROM t0 WHERE len(toks) >= 3),
@@ -2013,8 +2035,20 @@ sig AS (SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS
         FROM bits GROUP BY id),
 ch AS (SELECT id, sh, c, (sh >> (16 * c)) & 65535 AS cv
        FROM sig CROSS JOIN (SELECT unnest([0, 1, 2]) AS c)),
-cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sa, b.sh AS sb
-         FROM ch a JOIN ch b ON b.c = a.c AND b.cv = a.cv AND a.id < b.id)
+sized AS (SELECT id, sh, c, cv, COUNT(*) OVER (PARTITION BY c, cv) AS bsz FROM ch),
+-- degenerate-bucket cap+chain (cap=16, window=4), replaying the Spark side
+small AS (SELECT a.id AS id_a, b.id AS id_b, a.sh AS sa, b.sh AS sb
+          FROM sized a JOIN sized b
+            ON b.c = a.c AND b.cv = a.cv AND a.id < b.id
+          WHERE a.bsz <= 16),
+rk AS (SELECT id, sh, c, cv,
+         ROW_NUMBER() OVER (PARTITION BY c, cv ORDER BY id) AS rk
+       FROM sized WHERE bsz > 16),
+big AS (SELECT a.id AS id_a, b.id AS id_b, a.sh AS sa, b.sh AS sb
+        FROM rk a JOIN rk b ON b.c = a.c AND b.cv = a.cv
+          AND b.rk > a.rk AND b.rk <= a.rk + 4),
+cand AS (SELECT DISTINCT id_a, id_b, sa, sb
+         FROM (SELECT * FROM small UNION ALL SELECT * FROM big))
 SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 8""",
         "embedding_near_dup_pairs": """

@@ -10,9 +10,18 @@ Scale notes:
 - minhash: k permutations computed as k affine transforms of ONE base
   shingle hash, aggregated as k min() columns in a single groupBy —
   one shuffle of (doc, hash) pairs, not k shuffles.
-- LSH banding: candidates = self-join on (band_id, band_hash) buckets;
-  bucket sizes are bounded in practice, and the join is an equi-join so
-  AQE's skew-join splitting handles pathological buckets.
+- LSH banding: candidates = self-join on (band_id, band_hash) buckets.
+  Every pair-LISTING operator here carries a ``bucket_cap``: buckets
+  larger than the cap switch from all-pairs to a deterministic
+  id-ordered chain (each member pairs with its next ``chain_window``
+  rank-neighbors), so a degenerate corpus — millions of identical
+  boilerplate documents landing in ONE bucket of EVERY band — costs
+  O(N * chain_window) candidate rows instead of O(N^2). AQE skew-join
+  splitting only re-balances *tasks*; it cannot shrink quadratic
+  *output*, hence the cap. Within an oversized bucket, pairs more than
+  chain_window ranks apart are only reachable transitively — callers
+  that want clusters (not pairs) should use :func:`near_dup_clusters`,
+  whose star edges are O(N * bands) with NO recall loss.
 """
 
 from __future__ import annotations
@@ -150,20 +159,72 @@ def _lsh_buckets(
     return _stack_bands(banded, bands)
 
 
+def _capped_bucket_pairs(
+    stacked: DataFrame, keys: list[str], extra: list[str],
+    bucket_cap: int, chain_window: int,
+) -> DataFrame:
+    """(id_a, id_b[, <extra>_a, <extra>_b]) distinct pairs co-bucketed on
+    ``keys``, with the degenerate-bucket guard (module docstring): buckets
+    of size <= bucket_cap are exact all-pairs; larger buckets pair each
+    member with its next ``chain_window`` neighbors in id order — an
+    equi-join on (keys, rank), never a bucket-wide cross product, so an
+    N-row bucket costs O(N * chain_window) candidates and its members
+    stay transitively connected. Bucket sizes come from a groupBy (map-
+    side combine: a degenerate bucket collapses to one row per map task)
+    joined back, not a window count — the same single-task-sort trap
+    lsh_star_edges documents. The per-bucket rank for oversized buckets
+    IS a window sort, but only over rows already known oversized:
+    O(N log N), spillable, strictly cheaper than the O(N^2) join it
+    replaces (same trade similarity.embedding_near_dups makes)."""
+    from pyspark.sql import Window
+
+    sizes = stacked.groupBy(*keys).agg(F.count("*").alias("_bsz"))
+    sized = stacked.join(sizes, keys)
+
+    def side(suffix: str) -> list[Column]:
+        cols = [F.col("id").alias(f"id_{suffix}")]
+        cols += [F.col(c).alias(f"{c}_{suffix}") for c in extra]
+        return cols
+
+    small = sized.where(F.col("_bsz") <= bucket_cap)
+    cand_small = (
+        small.select(*side("a"), *keys)
+        .join(small.select(*side("b"), *keys), keys)
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+
+    big = sized.where(F.col("_bsz") > bucket_cap)
+    w = Window.partitionBy(*keys).orderBy("id")
+    ranked = big.select("id", *extra, *keys, F.row_number().over(w).alias("_rk"))
+    probes = ranked.select(
+        *side("a"), *keys,
+        F.explode(F.sequence(F.col("_rk") + 1, F.col("_rk") + chain_window)).alias("_rk"),
+    )
+    targets = ranked.select(*side("b"), *keys, "_rk")
+    # rank order == id order within the bucket, so id_a < id_b holds
+    cand_big = probes.join(targets, [*keys, "_rk"])
+
+    out = [f"{c}_{s}" for c in ["id", *extra] for s in ("a", "b")]
+    return (
+        cand_small.select(*out)
+        .unionByName(cand_big.select(*out))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 16, bands: int = 4, shingle_n: int = 3,
+    bucket_cap: int = 2000, chain_window: int = 8,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band."""
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
+    Buckets above ``bucket_cap`` degrade to the id-ordered chain (module
+    docstring) — pair recall inside an oversized bucket is transitive
+    only; use :func:`near_dup_clusters` when clusters are the goal."""
     stacked = _lsh_buckets(docs, text_col, id_col, num_hashes, bands, shingle_n)
-    left = stacked.select(F.col("id").alias("id_a"), "band", "bh")
-    right = stacked.select(F.col("id").alias("id_b"), "band", "bh")
-    return (
-        left.join(right, ["band", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _capped_bucket_pairs(
+        stacked, ["band", "bh"], [], bucket_cap, chain_window
+    ).select("id_a", "id_b")
 
 
 def lsh_star_edges(
@@ -298,23 +359,22 @@ def dedup_near(
 def minhash_md5_candidates(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 8, bands: int = 4, shingle_n: int = 3,
+    bucket_cap: int = 2000, chain_window: int = 8,
 ) -> DataFrame:
     """MinHash+LSH candidates with an md5-string hash family — slower than
     the xxhash64 version but bit-portable to any SQL engine (the driver's
-    DuckDB oracle reproduces it exactly). Signatures are computed per-row
-    with array_min/transform: zero shuffles until the band self-join."""
+    DuckDB oracle reproduces it exactly, INCLUDING the bucket cap+chain —
+    the gate query runs with a cap small enough to trigger at sf0.01, so
+    the degenerate-bucket path itself is hash-checked). Signatures are
+    computed per-row with array_min/transform: zero shuffles until the
+    band stage."""
     assert num_hashes % bands == 0
     stacked = _lsh_buckets(
         docs, text_col, id_col, num_hashes, bands, shingle_n, hash_fn="md5"
     )
-    left = stacked.select(F.col("id").alias("id_a"), "band", "bh")
-    right = stacked.select(F.col("id").alias("id_b"), "band", "bh")
-    return (
-        left.join(right, ["band", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _capped_bucket_pairs(
+        stacked, ["band", "bh"], [], bucket_cap, chain_window
+    ).select("id_a", "id_b")
 
 
 def ngram_jaccard_pairs(
@@ -411,10 +471,16 @@ def simhash_md5(docs: DataFrame, text_col: str = "text",
     return _simhash_sig(docs, text_col, id_col, h, 48)
 
 
-def _chunk_band_pairs(sig: DataFrame, nchunks: int) -> DataFrame:
+def _chunk_band_pairs(
+    sig: DataFrame, nchunks: int,
+    bucket_cap: int = 2000, chain_window: int = 8,
+) -> DataFrame:
     """Candidate pairs sharing >=1 exact 16-bit signature chunk — a
-    bucketed equi-join (never all-pairs); AQE skew-split covers hot
-    buckets. Returns (id_a, id_b, sig_a, sig_b), id_a < id_b, distinct."""
+    bucketed equi-join (never all-pairs), with the degenerate-bucket
+    cap+chain guard (module docstring): a crawl where millions of docs
+    share a signature chunk pairs each member with its next
+    ``chain_window`` id-neighbors instead of going O(N^2). Returns
+    (id_a, id_b, simhash_a, simhash_b), id_a < id_b, distinct."""
     chunks = sig.select(
         "id", "simhash",
         F.explode(F.array(*[
@@ -425,34 +491,48 @@ def _chunk_band_pairs(sig: DataFrame, nchunks: int) -> DataFrame:
             for c in range(nchunks)
         ])).alias("e"),
     ).select("id", "simhash", "e.chunk", "e.cv")
-    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "cv")
-    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "cv")
-    return (
-        a.join(b, ["chunk", "cv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
+    return _capped_bucket_pairs(
+        chunks, ["chunk", "cv"], ["simhash"], bucket_cap, chain_window
     )
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3,
+    bucket_cap: int = 2000, chain_window: int = 8, **kw,
+) -> DataFrame:
     """Candidate pairs with hamming(simhash) <= max_hamming, found via
     4x16-bit chunk banding (a pair within distance 3 shares >=1 exact
-    chunk), then exact popcount verification."""
-    cand = _chunk_band_pairs(simhash(docs, **kw), nchunks=4)
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    chunk), then exact popcount verification. Chunks shared by more than
+    ``bucket_cap`` docs degrade to the id-ordered chain — identical-doc
+    floods stay O(N * chain_window); a pair in an oversized bucket more
+    than chain_window ranks apart is missed (use near_dup_clusters for
+    recall-lossless clustering)."""
+    cand = _chunk_band_pairs(
+        simhash(docs, **kw), nchunks=4,
+        bucket_cap=bucket_cap, chain_window=chain_window,
+    )
+    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
 
 
-def simhash_md5_near_dups(docs: DataFrame, max_hamming: int = 2, **kw) -> DataFrame:
+def simhash_md5_near_dups(
+    docs: DataFrame, max_hamming: int = 2,
+    bucket_cap: int = 2000, chain_window: int = 8, **kw,
+) -> DataFrame:
     """Oracle-portable twin of simhash_near_dups: 48-bit md5 signatures,
-    3x16-bit chunk banding (full recall for hamming <= 2 by pigeonhole),
-    exact popcount verification. Every step is deterministic integer math
-    reproducible in ANSI-ish SQL, so the driver hash-checks it."""
-    cand = _chunk_band_pairs(simhash_md5(docs, **kw), nchunks=3)
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    3x16-bit chunk banding (full recall for hamming <= 2 by pigeonhole
+    WHEN no bucket exceeds ``bucket_cap``; oversized buckets chain),
+    exact popcount verification. Every step — including the cap+chain —
+    is deterministic integer math reproducible in ANSI-ish SQL, so the
+    driver hash-checks it (the gate runs cap=16 which sf0.01's hottest
+    28-doc chunk bucket exceeds: the chain path is under the oracle)."""
+    cand = _chunk_band_pairs(
+        simhash_md5(docs, **kw), nchunks=3,
+        bucket_cap=bucket_cap, chain_window=chain_window,
+    )
+    ham = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )

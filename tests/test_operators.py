@@ -377,6 +377,70 @@ def test_embedding_near_dups_bucket_cap(spark):
     assert all(a < b for a, b in got)
 
 
+def test_minhash_candidates_bucket_cap_10k_identical(spark):
+    # VERDICT r03 "Next round" #1: the pair-LISTING LSH candidates get the
+    # same degenerate-bucket guard their clustering sibling has. 10k
+    # byte-identical docs land in ONE bucket of EVERY band; uncapped that
+    # is ~50M candidate pairs (O(N^2)); with cap+chain it must complete
+    # with exactly the O(N * chain_window) id-chain and stay transitively
+    # connected for a downstream keep-min/CC consumer.
+    n, w = 10_000, 8
+    d = spark.range(n).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.lit("the same boilerplate footer text repeated on every page").alias("text"),
+    )
+    pairs = minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, bucket_cap=2000, chain_window=w
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # identical docs -> identical signatures -> one bucket per band with
+    # the same id-ordered chain; dedup across bands leaves exactly
+    # sum_{j=1..w} (n - j) pairs
+    assert len(got) == sum(n - j for j in range(1, w + 1))
+    assert all((i, i + 1) in got for i in range(n - 1))  # connected
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_candidates_cap_matches_allpairs_when_small(spark, docs):
+    # buckets at or below the cap take the exact all-pairs branch: a tiny
+    # cap that nothing exceeds must be a no-op vs an effectively-infinite
+    # cap, on both hash families
+    from fog_spark.operators.dedup import minhash_md5_candidates
+
+    d = docs.limit(60)
+    for fn, kw in [
+        (minhash_lsh_candidates, dict(num_hashes=16, bands=4)),
+        (minhash_md5_candidates, dict(num_hashes=8, bands=4)),
+    ]:
+        base = {(r["id_a"], r["id_b"]) for r in fn(d, **kw).collect()}
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in fn(d, bucket_cap=10**9, chain_window=3, **kw).collect()
+        }
+        assert base == capped
+
+
+def test_simhash_pairs_bucket_cap_chain(spark):
+    # identical docs share all signature chunks; with cap < n the chunk
+    # buckets switch to the rank chain: O(n * w) verified pairs at
+    # hamming 0, consecutive ids all present (transitive connectivity)
+    from fog_spark.operators.dedup import simhash_md5_near_dups
+
+    n, w = 400, 4
+    d = spark.range(n).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.lit("copy of the exact same page body").alias("text"),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_md5_near_dups(
+            d, max_hamming=0, bucket_cap=50, chain_window=w
+        ).collect()
+    }
+    assert len(got) == sum(n - j for j in range(1, w + 1))
+    assert all((i, i + 1) in got for i in range(n - 1))
+
+
 def test_repetition_features_oracle(spark):
     """Gopher-style repetition signals vs a direct Python oracle on
     hand-built pathological and clean docs."""

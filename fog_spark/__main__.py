@@ -145,12 +145,39 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _make_cc_warm(spark: SparkSession, args: argparse.Namespace):
+def _make_cc_warm(spark: SparkSession, args: argparse.Namespace, edges: DataFrame):
     from fog_spark.algos.components import WarmStartCC
 
     prev = spark.read.parquet(
         args.warm_labels or _die("--algo cc-warm requires --warm-labels")
     ).select("id", "component")
+    # warm-start hash-min is only sound for edge ADDITIONS: a deleted edge
+    # can only RAISE a component label, which hash-min can never do from a
+    # stale too-small warm label — the CLI would silently emit wrong
+    # components. With --edges-old we can verify the contract cheaply
+    # (one anti-join count); without it we can only warn (ADVICE r03).
+    if args.edges_old:
+        from fog_spark.operators.snapshots import edge_delta
+
+        deleted = (
+            edge_delta(spark.read.parquet(args.edges_old), edges)
+            .where(F.col("change") == "removed")
+            .count()
+        )
+        if deleted > 0:
+            raise SystemExit(
+                f"--algo cc-warm: {deleted} edge(s) were DELETED since "
+                "--edges-old; warm-start hash-min is additions-only (a "
+                "deletion can split a component, which a warm label can "
+                "never raise). Run --algo cc cold instead."
+            )
+    else:
+        print(
+            "cc-warm: additions-only contract UNVERIFIED (pass --edges-old "
+            "to check via edge-delta); deleted edges would make warm-start "
+            "labels silently wrong",
+            file=sys.stderr,
+        )
     added = (
         spark.read.parquet(args.edges_added).select("src", "dst")
         if args.edges_added
@@ -373,7 +400,7 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
             damping=args.damping,
         ),
         "cc": ConnectedComponents,
-        "cc-warm": lambda: _make_cc_warm(spark, args),
+        "cc-warm": lambda: _make_cc_warm(spark, args, e),
         "bfs": lambda: BFS(root=args.bfs_root),
         "sssp": lambda: SSSP(source=args.sssp_source),
         "lpa": lambda: LabelPropagation(max_iters=args.lpa_iters),

@@ -112,14 +112,26 @@ def spam_mass_milli(
     sums = joined.agg(
         F.sum("pr_milli").alias("s_pr"), F.sum("tr_raw").alias("s_tr")
     )
+    # s_tr == 0 means NO trust seed exists in the graph (typo'd seed ids,
+    # or seeds that are dangling-isolated): defaulting trust to 0 would
+    # silently score EVERY vertex spam_permille=1000 — an all-spam verdict
+    # indistinguishable from a real one. Fail loudly instead, mirroring
+    # hostgraph.host_spam_mass's empty-seed-intersection error (ADVICE
+    # r03). The 1-row collect is a bounded driver scalar; engine state is
+    # already materialized at this point.
+    srow = sums.collect()[0]
+    if not srow["s_tr"] or srow["s_tr"] <= 0:
+        raise ValueError(
+            f"spam_mass_milli: no trust mass — none of trust_seeds "
+            f"{list(trust_seeds)!r} accumulated TrustRank (absent or "
+            f"isolated seed ids?); refusing the vacuous all-spam verdict"
+        )
     out = (
         joined.crossJoin(F.broadcast(sums))
         .select(
             "id",
             "pr_milli",
-            F.when(F.col("s_tr") > 0,
-                   F.expr("(tr_raw * s_pr) div s_tr"))
-            .otherwise(F.lit(0))
+            F.expr("(tr_raw * s_pr) div s_tr")
             .cast("long")
             .alias("trust_milli"),
         )

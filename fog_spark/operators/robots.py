@@ -2,45 +2,54 @@
 
 The missing half of a real frontier: `operators/crawl.crawl_frontier`
 ranks what to fetch; this module removes what MUST NOT be fetched. Not
-in the reference (graph algorithms only); semantics follow the public
-robots.txt convention (original 1994 REP + the parts of RFC 9309 that
-matter for a filter): group = User-agent lines followed by Allow /
-Disallow path prefixes, longest matching prefix wins, Allow wins a
-length tie, empty Disallow means allow-all.
+in the reference (graph algorithms only); semantics follow RFC 9309:
 
-Deliberate simplifications (documented contract, mirrored by the pytest
-oracle): only the wildcard agent group (``User-agent: *``) is honored —
-per-bot groups need the crawler's identity, a config concern — and
-prefixes are matched literally (no ``*`` / ``$`` wildcards; rules
-containing ``*`` are dropped, ``$``-terminated rules are kept with the
-``$`` stripped, both of which under-block rather than over-block —
-wildcard support would move the rule into a regexp).
+- group = consecutive ``User-agent`` lines followed by Allow / Disallow
+  rules; a crawler picks the group(s) whose user-agent token equals its
+  own product token (case-insensitive exact match, §2.2.1); the ``*``
+  group applies ONLY when no named group matched — including when the
+  named group is empty (empty matching group = allow-all, NOT fallback).
+- rule values support ``*`` (any char run) and a TRAILING ``$``
+  (end-of-path anchor, §2.2.3); a mid-pattern ``$`` is literal.
+- most-specific match wins: longest rule value (octets of the pattern,
+  §2.2.2); Allow wins a length tie; no matching rule means allowed;
+  empty rule values contribute nothing.
+
+Remaining simplification (documented): URLs are matched as-spelled —
+no percent-encoding normalization of rule/path octets (§2.2.2's
+UTF-8/percent-encoding equivalence); canonicalize_url upstream handles
+the usual casing/port forms.
 
 Scale shape: parsing is a per-row line fold over each robots body (pure
 Column math; robots files are a few hundred lines). The frontier filter
 joins candidate urls to the per-host rule table — hosts are ~4 orders
 of magnitude fewer than urls and each host's rule set is tiny, so the
-rules side BROADCASTS; the match + longest-prefix resolution is one
-groupBy over (url, matched rules). No Python in either path.
+rules side BROADCASTS (rule->regex translation happens once per rule on
+that side, not per url); the match + longest-prefix resolution is one
+groupBy over (row key, matched rules). No Python in either path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fog_spark.operators.hostgraph import host_of
 
 
 def parse_robots(
-    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+    robots: DataFrame, host_col: str = "host", body_col: str = "body",
+    agent: str | None = None,
 ) -> DataFrame:
-    """(host, allow:boolean, prefix) — the wildcard-agent rules of each
-    robots.txt body. Lines are trimmed, ``#`` comments stripped,
-    directive names case-folded; rules outside a ``User-agent: *`` group
-    are ignored; ``Disallow:`` with an empty value contributes nothing
-    (allow-all); rules containing ``*`` are dropped, a trailing ``$`` is
-    stripped (see module contract)."""
+    """(host, allow:boolean, prefix) — the effective rules of each
+    robots.txt body for ``agent`` (a product token, e.g. "fetchbot");
+    ``agent=None`` honors only the wildcard group. Lines are trimmed,
+    ``#`` comments stripped, directive names case-folded. Groups naming
+    the agent take precedence over the ``*`` group per RFC 9309 — a
+    present-but-empty named group yields NO rules (allow-all) rather
+    than falling back to ``*``. ``prefix`` is the raw rule value,
+    wildcards included; :func:`frontier_allowed` interprets them."""
+    agent_lit = F.lit((agent or "").lower())
     lines = F.transform(
         F.split(F.col(body_col), r"\r?\n"),
         lambda ln: F.trim(F.regexp_replace(ln, r"#.*$", "")),
@@ -55,75 +64,125 @@ def parse_robots(
         ),
         lambda s: s["k"].isin("user-agent", "allow", "disallow"),
     )
-    # fold: in_star = current group names the wildcard agent; in_agents =
-    # still inside the group's User-agent header block (consecutive
-    # User-agent lines extend ONE group; a rule line closes the header)
+    # fold state: star/named = current group names the * / our agent;
+    # in_agents = still inside the group's User-agent header block
+    # (consecutive User-agent lines extend ONE group; a rule closes it);
+    # has_named = ANY group in the file named our agent.
+    if agent is None:
+        is_named = lambda v: F.lit(False)  # noqa: E731
+    else:
+        is_named = lambda v: F.lower(v) == agent_lit  # noqa: E731
+    rule = lambda s: F.struct(  # noqa: E731
+        (s["k"] == "allow").alias("allow"), s["v"].alias("prefix")
+    )
     step = lambda acc, s: F.when(  # noqa: E731
         s["k"] == "user-agent",
         F.struct(
-            F.when(acc["in_agents"], acc["in_star"] | (s["v"] == "*"))
+            F.when(acc["in_agents"], acc["star"] | (s["v"] == "*"))
             .otherwise(s["v"] == "*")
-            .alias("in_star"),
+            .alias("star"),
+            F.when(acc["in_agents"], acc["named"] | is_named(s["v"]))
+            .otherwise(is_named(s["v"]))
+            .alias("named"),
             F.lit(True).alias("in_agents"),
-            acc["rules"].alias("rules"),
+            (acc["has_named"] | is_named(s["v"])).alias("has_named"),
+            acc["star_rules"].alias("star_rules"),
+            acc["named_rules"].alias("named_rules"),
         ),
     ).otherwise(
         F.struct(
-            acc["in_star"].alias("in_star"),
+            acc["star"].alias("star"),
+            acc["named"].alias("named"),
             F.lit(False).alias("in_agents"),
+            acc["has_named"].alias("has_named"),
             F.when(
-                acc["in_star"] & (F.length(s["v"]) > 0) & ~s["v"].contains("*"),
-                F.array_append(
-                    acc["rules"],
-                    F.struct(
-                        (s["k"] == "allow").alias("allow"),
-                        F.regexp_replace(s["v"], r"\$$", "").alias("prefix"),
-                    ),
-                ),
+                acc["star"] & (F.length(s["v"]) > 0),
+                F.array_append(acc["star_rules"], rule(s)),
             )
-            .otherwise(acc["rules"])
-            .alias("rules"),
+            .otherwise(acc["star_rules"])
+            .alias("star_rules"),
+            F.when(
+                acc["named"] & (F.length(s["v"]) > 0),
+                F.array_append(acc["named_rules"], rule(s)),
+            )
+            .otherwise(acc["named_rules"])
+            .alias("named_rules"),
         )
     )
+    empty = F.array().cast("array<struct<allow:boolean,prefix:string>>")
     zero = F.struct(
-        F.lit(False).alias("in_star"),
+        F.lit(False).alias("star"),
+        F.lit(False).alias("named"),
         F.lit(False).alias("in_agents"),
-        F.array().cast("array<struct<allow:boolean,prefix:string>>").alias("rules"),
+        F.lit(False).alias("has_named"),
+        empty.alias("star_rules"),
+        empty.alias("named_rules"),
     )
-    rules = F.aggregate(parsed, zero, step)["rules"]
+    acc = F.aggregate(parsed, zero, step)
+    rules = F.when(acc["has_named"], acc["named_rules"]).otherwise(acc["star_rules"])
     return robots.select(
         F.col(host_col).alias("host"), F.explode(rules).alias("r")
     ).select("host", "r.allow", "r.prefix")
 
 
+def _pattern_regex(pattern: Column) -> Column:
+    """RFC 9309 rule value -> anchored Java regex: ``*`` matches any char
+    run, a TRAILING ``$`` anchors at end-of-path (mid-pattern ``$`` is a
+    literal), everything else is literal."""
+    esc = F.regexp_replace(pattern, r"([.\[\]{}()+?^\\|$])", r"\\$1")
+    body = F.regexp_replace(esc, r"\*", ".*")
+    # a trailing $ was escaped to \$ (2 chars) — swap it for the anchor
+    anchored = F.concat(F.substr(body, F.lit(1), F.length(body) - 2), F.lit("$"))
+    return F.concat(
+        F.lit("^"), F.when(pattern.endswith("$"), anchored).otherwise(body)
+    )
+
+
 def frontier_allowed(
     urls: DataFrame, rules: DataFrame, url_col: str = "url"
 ) -> DataFrame:
-    """Input urls plus an ``allowed`` boolean: longest matching rule
-    prefix decides, Allow wins ties, no matching rule (or no rules for
-    the host at all) means allowed. The rule table broadcasts — it is
-    host-sized, the url side is crawl-sized."""
-    u = urls.withColumn("_host", host_of(F.col(url_col))).withColumn(
-        "_path",
-        F.coalesce(
-            F.nullif(
-                F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)?$", 1),
-                F.lit(""),
+    """Input urls plus an ``allowed`` boolean: the longest matching rule
+    value decides (RFC 9309 most-specific match, wildcards expanded via
+    :func:`_pattern_regex`), Allow wins ties, no matching rule (or no
+    rules for the host at all) means allowed. The rule table broadcasts —
+    it is host-sized, the url side is crawl-sized. Rows are keyed by a
+    generated id, so duplicate input rows survive and input column names
+    never collide with the rule table's (``_rid``/``_host``/``_path`` and
+    ``_r``-prefixed names are reserved)."""
+    u = (
+        urls.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("_host", host_of(F.col(url_col)))
+        .withColumn(
+            "_path",
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*)?$", 1
+                    ),
+                    F.lit(""),
+                ),
+                F.lit("/"),
             ),
-            F.lit("/"),
-        ),
+        )
     )
-    r = F.broadcast(rules.select(F.col("host").alias("_host"), "allow", "prefix"))
+    r = F.broadcast(
+        rules.select(
+            F.col("host").alias("_host"),
+            F.col("allow").alias("_r_allow"),
+            F.length("prefix").alias("_r_len"),
+            _pattern_regex(F.col("prefix")).alias("_r_rx"),
+        )
+    )
     matched = (
         u.join(r, "_host", "left")
         .withColumn(
-            "_m",
-            F.col("prefix").isNotNull() & F.col("_path").startswith(F.col("prefix")),
+            "_m", F.col("_r_rx").isNotNull() & F.rlike(F.col("_path"), F.col("_r_rx"))
         )
-        .groupBy(*urls.columns)
+        .groupBy("_rid")
         .agg(
-            F.max(F.when(F.col("_m") & ~F.col("allow"), F.length("prefix"))).alias("_dis"),
-            F.max(F.when(F.col("_m") & F.col("allow"), F.length("prefix"))).alias("_alw"),
+            *[F.first(c).alias(c) for c in urls.columns],
+            F.max(F.when(F.col("_m") & ~F.col("_r_allow"), F.col("_r_len"))).alias("_dis"),
+            F.max(F.when(F.col("_m") & F.col("_r_allow"), F.col("_r_len"))).alias("_alw"),
         )
     )
     return matched.select(

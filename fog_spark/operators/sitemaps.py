@@ -69,15 +69,27 @@ def sitemap_frontier_seeds(
     seed rows a scheduler unions into crawl_frontier's output (sitemap
     entries carry the site's own declared priority/freshness, so they
     bypass the inlink-count ranking). One anti-join against the crawled
-    set; index entries are excluded (fetch them first)."""
+    set; index entries are excluded (fetch them first). BOTH sides are
+    canonicalized first (ADVICE r03): an already-crawled page whose
+    stored spelling differs from its <loc> spelling (uppercase host,
+    default port, trailing slash form) must NOT re-enter the frontier —
+    the same guard crawl_frontier applies to its crawled side. The
+    returned url is the canonical form."""
+    from fog_spark.functions.urlnorm import canonicalize_url
     from fog_spark.operators.hostgraph import host_of
 
-    entries = parse_sitemaps(sitemaps, body_col, src_col).where(
-        F.col("kind") == "url"
+    entries = (
+        parse_sitemaps(sitemaps, body_col, src_col)
+        .where(F.col("kind") == "url")
+        .select(canonicalize_url(F.col("url")).alias("url"), "lastmod")
     )
     return (
         entries.join(
-            crawled.select(F.col(crawled_url_col).alias("url")), "url", "left_anti"
+            crawled.select(
+                canonicalize_url(F.col(crawled_url_col)).alias("url")
+            ),
+            "url",
+            "left_anti",
         )
         .select("url", "lastmod", host_of(F.col("url")).alias("host"))
         .distinct()

@@ -104,3 +104,53 @@ def test_warm_new_vertices_start_cold(spark):
     labels = _labels(warm)
     assert labels[40] == 0
     assert len(set(labels.values())) == 1
+
+
+def test_cli_cc_warm_refuses_deletions(spark, tmp_path):
+    # ADVICE r03: with --edges-old supplied, the CLI verifies the
+    # additions-only contract via edge-delta and refuses warm start when
+    # edges were removed (a deletion can split a component, which warm
+    # hash-min labels can never raise)
+    import pytest
+
+    from fog_spark.__main__ import main
+
+    e_old = make_edges_df(spark, OLD, weighted=False)
+    prev = _engine(spark).run(ConnectedComponents(), e_old).state.select(
+        "id", "component"
+    )
+    labels_pq = tmp_path / "labels"
+    prev.write.parquet(str(labels_pq))
+    old_pq = tmp_path / "old_edges"
+    e_old.write.parquet(str(old_pq))
+
+    # new graph DROPS one old edge (splits the 0..9 path) and adds the bridge
+    dropped = [p for p in OLD if p != (4, 5)] + ADDED
+    new_pq = tmp_path / "new_edges"
+    make_edges_df(spark, dropped, weighted=False).write.parquet(str(new_pq))
+    with pytest.raises(SystemExit, match="additions-only"):
+        main(
+            [
+                "--algo", "cc-warm", "--edges", str(new_pq), "--format", "parquet",
+                "--warm-labels", str(labels_pq), "--edges-old", str(old_pq),
+                "--output", str(tmp_path / "out_refused"),
+            ],
+            spark=spark,
+        )
+
+    # additions-only delta passes the same guard and matches the cold run
+    add_pq = tmp_path / "add_edges"
+    e_new = make_edges_df(spark, NEW, weighted=False)
+    e_new.write.parquet(str(add_pq))
+    out = tmp_path / "out_ok"
+    rc = main(
+        [
+            "--algo", "cc-warm", "--edges", str(add_pq), "--format", "parquet",
+            "--warm-labels", str(labels_pq), "--edges-old", str(old_pq),
+            "--output", str(out),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {r["id"]: r["component"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == _labels(_engine(spark).run(ConnectedComponents(), e_new))

@@ -1,5 +1,5 @@
 """robots.txt parsing + frontier politeness filter vs a pure-Python
-replay of the documented contract (fog_spark/operators/robots.py)."""
+replay of the RFC 9309 contract (fog_spark/operators/robots.py)."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -29,16 +29,18 @@ Allow: /public/
     "d.test": "total garbage\nno directives here",
 }
 
-# (url, expected allowed) — the Python-side expectations follow the
-# module contract: wildcard group only, literal prefixes, $ stripped,
-# *-rules dropped, longest match wins, allow wins ties
+# (url, expected allowed) under RFC 9309 semantics: wildcard group (no
+# agent given), '*' matches any run, trailing '$' anchors, longest rule
+# value wins, allow wins ties
 CASES = [
     ("https://a.test/", True),
     ("https://a.test/private/x", False),
     ("https://a.test/private/ok/x", True),  # longer allow overrides
-    ("https://a.test/google-only/x", True),  # per-bot group ignored
-    ("https://a.test/tmpfile", False),  # $ stripped -> prefix /tmp
-    ("https://a.test/star/a/glob", True),  # *-rule dropped
+    ("https://a.test/google-only/x", True),  # per-bot group ignored w/o agent
+    ("https://a.test/tmpfile", True),  # $ anchors: /tmp$ != /tmpfile
+    ("https://a.test/tmp", False),  # ... but matches /tmp exactly
+    ("https://a.test/star/a/glob", False),  # *-rule now matches
+    ("https://a.test/star/a/b/glob2", False),  # * spans slashes, prefix match
     ("https://b.test/anything", False),  # / disallows all ...
     ("https://b.test/public/x", True),  # ... except the allow carve-out
     ("https://c.test/crlf/x", False),  # CRLF bodies parse
@@ -61,7 +63,8 @@ def test_parse_rules(spark, rules):
     assert got == {
         ("a.test", False, "/private/"),
         ("a.test", True, "/private/ok/"),
-        ("a.test", False, "/tmp"),
+        ("a.test", False, "/tmp$"),
+        ("a.test", False, "/star/*/glob"),
         ("b.test", False, "/"),
         ("b.test", True, "/public/"),
         ("c.test", False, "/crlf/"),
@@ -75,6 +78,92 @@ def test_frontier_allowed(spark, rules):
         assert got[url] == want, url
 
 
+def test_named_agent_group(spark):
+    # RFC 9309 §2.2.1: exact (case-insensitive) product-token match; a
+    # matching named group REPLACES the * group entirely, even when the
+    # named group is empty (allow-all, not fallback)
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.test",
+                "User-agent: FetchBot\nDisallow: /fb/\n\n"
+                "User-agent: *\nDisallow: /all/\n",
+            ),
+            # NB: blank lines do NOT close a group in RFC 9309 — the empty
+            # Disallow does (and itself contributes no rule)
+            ("empty.test", "User-agent: fetchbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"),
+        ],
+        "host string, body string",
+    )
+    named = parse_robots(robots, agent="fetchbot")
+    got = {(r["host"], r["allow"], r["prefix"]) for r in named.collect()}
+    # a.test: only the named group's rule; empty.test: named group is
+    # empty -> NO rules (the Disallow:/ of * must not leak in)
+    assert got == {("a.test", False, "/fb/")}
+    urls = spark.createDataFrame(
+        [("https://a.test/fb/x",), ("https://a.test/all/x",), ("https://empty.test/x",)],
+        "url string",
+    )
+    allowed = {
+        r["url"]: r["allowed"] for r in frontier_allowed(urls, named).collect()
+    }
+    assert allowed == {
+        "https://a.test/fb/x": False,
+        "https://a.test/all/x": True,  # * group ignored for named agent
+        "https://empty.test/x": True,  # empty named group = allow-all
+    }
+
+
+def test_rfc9309_wildcard_examples(spark):
+    # the published example set (RFC 9309 §2.2.2/§5.2 longest-match +
+    # Google's documented wildcard examples): each case is (body, path,
+    # expected allowed)
+    cases = [
+        # /fish* matches /fish, /fishheads, /fish/salmon.html
+        ("User-agent: *\nDisallow: /fish*", "/fish", False),
+        ("User-agent: *\nDisallow: /fish*", "/fishheads/yummy.html", False),
+        ("User-agent: *\nDisallow: /fish*", "/fish/salmon.html", False),
+        ("User-agent: *\nDisallow: /fish*", "/Fish.asp", True),  # case-sensitive
+        ("User-agent: *\nDisallow: /fish*", "/catfish", True),  # anchored at start
+        # /*.php$ matches /filename.php, /folder/filename.php, but not
+        # /filename.php?parameters or /filename.php5
+        ("User-agent: *\nDisallow: /*.php$", "/filename.php", False),
+        ("User-agent: *\nDisallow: /*.php$", "/folder/filename.php", False),
+        ("User-agent: *\nDisallow: /*.php$", "/filename.php?parameters", True),
+        ("User-agent: *\nDisallow: /*.php$", "/filename.php5", True),
+        # longest match: allow /p beats disallow / for /page
+        ("User-agent: *\nAllow: /p\nDisallow: /", "/page", True),
+        ("User-agent: *\nAllow: /p\nDisallow: /", "/index.html", False),
+        # equal length: allow wins the tie
+        ("User-agent: *\nAllow: /folder\nDisallow: /folder", "/folder/page", True),
+        # /page (5) vs /*.htm (6): the longer (wildcard) rule wins — the
+        # published example: /page.htm is blocked despite Allow: /page
+        ("User-agent: *\nAllow: /page\nDisallow: /*.htm", "/page.htm", False),
+        ("User-agent: *\nAllow: /page\nDisallow: /*.html", "/page", True),
+        # $ mid-pattern is literal
+        ("User-agent: *\nDisallow: /a$b", "/a$b/c", False),
+        ("User-agent: *\nDisallow: /a$b", "/ab", True),
+        # regex metachars in rules are literal
+        ("User-agent: *\nDisallow: /a.b", "/axb", True),
+        ("User-agent: *\nDisallow: /a.b", "/a.b", False),
+        ("User-agent: *\nDisallow: /q(1)+", "/q(1)+x", False),
+    ]
+    robots = spark.createDataFrame(
+        [(f"h{i}.test", body) for i, (body, _, _) in enumerate(cases)],
+        "host string, body string",
+    )
+    urls = spark.createDataFrame(
+        [(f"https://h{i}.test{path}",) for i, (_, path, _) in enumerate(cases)],
+        "url string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in frontier_allowed(urls, parse_robots(robots)).collect()
+    }
+    for i, (body, path, want) in enumerate(cases):
+        assert got[f"https://h{i}.test{path}"] == want, (body, path)
+
+
 def test_extra_columns_survive(spark, rules):
     urls = spark.createDataFrame(
         [("https://a.test/private/x", 7), ("https://a.test/fine", 9)],
@@ -85,6 +174,28 @@ def test_extra_columns_survive(spark, rules):
         "https://a.test/private/x": (7, False),
         "https://a.test/fine": (9, True),
     }
+
+
+def test_duplicate_rows_and_colliding_names_survive(spark, rules):
+    # ADVICE r03: frontier_allowed used to groupBy(*urls.columns), which
+    # collapsed duplicate rows and broke on inputs carrying columns named
+    # like the rule table's. Row-keyed grouping keeps both.
+    urls = spark.createDataFrame(
+        [
+            ("https://a.test/private/x", True, "z"),
+            ("https://a.test/private/x", True, "z"),  # exact duplicate
+            ("https://a.test/fine", False, "y"),
+        ],
+        "url string, allow boolean, prefix string",
+    )
+    rows = frontier_allowed(urls, rules).collect()
+    assert len(rows) == 3
+    got = sorted((r["url"], r["allow"], r["prefix"], r["allowed"]) for r in rows)
+    assert got == [
+        ("https://a.test/fine", False, "y", True),
+        ("https://a.test/private/x", True, "z", False),
+        ("https://a.test/private/x", True, "z", False),
+    ]
 
 
 def test_crawl_frontier_respects_robots(spark, rules):

@@ -62,3 +62,28 @@ def test_frontier_seeds_anti_join(spark):
         "https://a.test/p/2": (None, "a.test"),
         "https://a.test/p/3": ("2026-02-01T10:00:00Z", "a.test"),
     }
+
+
+def test_frontier_seeds_canonicalize_both_sides(spark):
+    # ADVICE r03: an already-crawled page stored with a different spelling
+    # (uppercase host, default port) must not re-enter the frontier; and
+    # non-canonical <loc> entries collapse to one canonical seed
+    from fog_spark.operators.sitemaps import sitemap_frontier_seeds
+
+    body = (
+        "<urlset>"
+        "<url><loc>https://A.test:443/p/1</loc></url>"
+        "<url><loc>https://a.test/p/2</loc></url>"
+        "<url><loc>https://A.TEST/p/2</loc></url>"
+        "</urlset>"
+    )
+    sitemaps = spark.createDataFrame(
+        [("https://a.test/sitemap.xml", body)], "sitemap_url string, body string"
+    )
+    crawled = spark.createDataFrame(
+        [("https://A.test:443/p/1",)], "url string"
+    )
+    seeds = [r["url"] for r in sitemap_frontier_seeds(sitemaps, crawled).collect()]
+    # p/1 is crawled (under its canonical form); both p/2 spellings
+    # collapse to ONE canonical seed
+    assert seeds == ["https://a.test/p/2"]

@@ -96,3 +96,16 @@ def test_uniform_pagerank_milli_mass_conserved_shape(spark):
     for _ in range(4):
         r = (850 * r) // 1000 + 150_000
     assert ranks == {0: r, 1: r, 2: r}
+
+
+def test_spam_mass_refuses_absent_trust_seeds(spark):
+    # ADVICE r03: a typo'd seed set accumulating zero trust must raise,
+    # not silently score every vertex spam_permille=1000
+    import pytest
+
+    from fog_spark.algos.spam import spam_mass_milli
+    from tests.conftest import make_edges_df
+
+    e = make_edges_df(spark, [(0, 1), (1, 2), (2, 0)], weighted=False)
+    with pytest.raises(ValueError, match="no trust mass"):
+        spam_mass_milli(spark, e, trust_seeds=[999], niters=2)

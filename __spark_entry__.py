@@ -306,6 +306,93 @@ WHERE degree >= {k}"""
     )
 
 
+def _frontier_plan_sql(niters: int, trap_min: int) -> str:
+    """Oracle for the composed crawl-scheduler plan (frontier_plan gate
+    query): the fixture's links are FORMULAIC in doc_id, so every stage
+    is re-derived arithmetically — host multigraph (incl. the planted
+    h9 /cal?d=N trap family) -> dense ids -> WeightedPageRankMilli ->
+    page-level candidates (anti-joined against the crawled urls) ->
+    the concrete h5 robots rules {Disallow /p/1*, Allow /p/13$} replayed
+    as CASE logic (RFC 9309 longest-match resolution of exactly these
+    two rules) -> sitemap seed union (same robots, anti-joined against
+    crawled AND planned) -> trap-template subtraction (templates replay
+    url_template's digit-collapse/value-drop arithmetically: /p/K ->
+    host/p/N, /cal?d=K -> host/cal?d=)."""
+    host = "'h' || CAST({} % 23 AS VARCHAR) || '.test'"
+    prologue = (
+        "d AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS did FROM documents)",
+        "lk AS MATERIALIZED ("
+        f"SELECT {host.format('did')} AS src_host, {host.format('(did * 7 + 1)')} AS dst_host FROM d "
+        f"UNION ALL SELECT {host.format('did')}, {host.format('(did * 13 + 5)')} FROM d "
+        f"UNION ALL SELECT {host.format('did')}, {host.format('(did * 7 + 1)')} FROM d "
+        "WHERE did % 3 = 0 "
+        f"UNION ALL SELECT {host.format('did')}, 'h9.test' FROM d)",
+        "hc AS MATERIALIZED (SELECT src_host, dst_host, COUNT(*) AS n "
+        "FROM lk GROUP BY src_host, dst_host)",
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM "
+        "(SELECT src_host AS host FROM hc UNION SELECT dst_host FROM hc))",
+        "dim AS MATERIALIZED (SELECT host, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY host) - 1 AS BIGINT) AS id FROM hosts)",
+    )
+    edges_sql = (
+        "SELECT s.id AS src, t.id AS dst, CAST(n * 1000 AS BIGINT) AS wm "
+        "FROM hc JOIN dim s ON s.host = hc.src_host "
+        "JOIN dim t ON t.host = hc.dst_host"
+    )
+    purl = (
+        "'https://h' || CAST(({h}) % 23 AS VARCHAR) || '.test/p/' || CAST({p} AS VARCHAR)"
+    )
+    tail = f"""
+, hr AS (SELECT dim.host AS host, r{niters}.rank_milli AS rank_milli
+         FROM r{niters} JOIN dim ON dim.id = r{niters}.id),
+crawled AS (SELECT {purl.format(h='did', p='did')} AS url FROM d),
+cand0 AS (
+  SELECT {purl.format(h='did * 7 + 1', p='did * 3')} AS url,
+         {host.format('(did * 7 + 1)')} AS hst,
+         '/p/' || CAST(did * 3 AS VARCHAR) AS pth FROM d
+  UNION ALL
+  SELECT {purl.format(h='did * 13 + 5', p='did * 5')},
+         {host.format('(did * 13 + 5)')},
+         '/p/' || CAST(did * 5 AS VARCHAR) FROM d
+  UNION ALL
+  SELECT {purl.format(h='did * 7 + 1', p='did * 3')},
+         {host.format('(did * 7 + 1)')},
+         '/p/' || CAST(did * 3 AS VARCHAR) FROM d WHERE did % 3 = 0
+  UNION ALL
+  SELECT 'https://h9.test/cal?d=' || CAST(did AS VARCHAR), 'h9.test',
+         '/cal?d=' || CAST(did AS VARCHAR) FROM d
+),
+cand AS (SELECT url, hst, pth, COUNT(*) AS n_refs FROM cand0
+         WHERE url NOT IN (SELECT url FROM crawled) GROUP BY url, hst, pth),
+candr AS (SELECT * FROM cand
+          WHERE NOT (hst = 'h5.test' AND pth LIKE '/p/1%' AND pth <> '/p/13')),
+linkrows AS (SELECT c.url, c.hst AS host, CAST(c.n_refs AS BIGINT) AS n_refs,
+                    CAST(COALESCE(hr.rank_milli, 0) AS BIGINT) AS host_rank_milli,
+                    'link' AS via
+             FROM candr c LEFT JOIN hr ON hr.host = c.hst),
+sm AS (SELECT 'https://h2.test/p/' || CAST(k AS VARCHAR) AS url, 'h2.test' AS hst,
+              '/p/' || CAST(k AS VARCHAR) AS pth FROM range(30) t(k)
+       UNION ALL
+       SELECT 'https://h5.test/p/' || CAST(k AS VARCHAR), 'h5.test',
+              '/p/' || CAST(k AS VARCHAR) FROM range(10, 20) t(k)),
+sm2 AS (SELECT DISTINCT url, hst, pth FROM sm
+        WHERE url NOT IN (SELECT url FROM crawled)),
+sm3 AS (SELECT * FROM sm2
+        WHERE NOT (hst = 'h5.test' AND pth LIKE '/p/1%' AND pth <> '/p/13')),
+seedrows AS (SELECT url, hst AS host, CAST(0 AS BIGINT) AS n_refs,
+                    CAST(0 AS BIGINT) AS host_rank_milli, 'sitemap' AS via
+             FROM sm3 WHERE url NOT IN (SELECT url FROM linkrows)),
+plan0 AS (SELECT * FROM linkrows UNION ALL SELECT * FROM seedrows),
+tpl AS (SELECT url, CASE WHEN url LIKE '%/cal?d=%' THEN host || '/cal?d='
+                         ELSE host || '/p/N' END AS template FROM plan0),
+trapped AS (SELECT template FROM tpl GROUP BY template
+            HAVING COUNT(DISTINCT url) >= {trap_min})
+SELECT p.url, p.host, p.n_refs, p.host_rank_milli, p.via
+FROM plan0 p JOIN tpl ON tpl.url = p.url
+WHERE tpl.template NOT IN (SELECT template FROM trapped)"""
+    return _wpagerank_milli_sql(niters, edges_sql=edges_sql, prologue=prologue, tail=tail)
+
+
 def _msbfs_sql(seeds: list[int], rounds: int, tail: str) -> str:
     """Unrolled multi-source BFS — exactly algos.msbfs.multi_source_bfs:
     per round each (id, seed) keeps its min hop distance; bounded at
@@ -1110,12 +1197,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = _engine(spark).run(PPRMilli(seed=0, niters=8), _edges(spark, sf))
         return res.state.select("id", "rank_milli")
 
-    def kcore10(spark, sf):
-        # k=10 actually peels on the orders-derived graph (840/1500
-        # vertices survive at sf0.01); smaller k keeps everything
-        from fog_spark.algos import k_core
+    def frontier_plan_q(spark, sf):
+        # the composed crawl-scheduler plan under ONE oracle (VERDICT r03
+        # "Next round" #6): pages -> crawl_frontier (host-PageRank-scored
+        # link candidates, RFC 9309 robots filter with a wildcard AND an
+        # anchored allow exercised UNDER the hash check) -> sitemap seed
+        # union (robots-filtered, crawled/planned anti-joined) -> trap-
+        # template subtraction (a planted /cal?d=N family, 500 distinct
+        # urls on h9, must vanish; the /p/N templates stay below the
+        # threshold and survive). Links are formulaic in doc_id, so the
+        # DuckDB side re-derives every stage arithmetically.
+        from fog_spark.operators.crawl import frontier_plan
+        from fog_spark.operators.robots import parse_robots
 
-        return k_core(_edges(spark, sf), k=10, max_rounds=16)
+        d = _docs(spark, sf)
+        did = F.col("doc_id").cast("long")
+
+        def href(h, p):
+            return F.concat(
+                F.lit('<a href="https://h'), h.cast("string"),
+                F.lit(".test/p/"), p.cast("string"), F.lit('">x</a>'),
+            )
+
+        l1 = href((did * 7 + 1) % 23, did * 3)
+        l2 = href((did * 13 + 5) % 23, did * 5)
+        trap = F.concat(
+            F.lit('<a href="https://h9.test/cal?d='), did.cast("string"),
+            F.lit('">t</a>'),
+        )
+        html = F.concat(
+            F.lit("<html><body>"), l1, l2,
+            F.when(did % 3 == 0, l1).otherwise(F.lit("")),
+            trap, F.lit("</body></html>"),
+        )
+        pages = d.select(
+            F.concat(
+                F.lit("https://h"), (did % 23).cast("string"),
+                F.lit(".test/p/"), did.cast("string"),
+            ).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        robots = spark.createDataFrame(
+            [("h5.test", "User-agent: *\nDisallow: /p/1*\nAllow: /p/13$")],
+            "host string, body string",
+        )
+        sm_h2 = (
+            "<urlset>"
+            + "".join(f"<url><loc>https://h2.test/p/{k}</loc></url>" for k in range(30))
+            + "</urlset>"
+        )
+        sm_h5 = (
+            "<urlset>"
+            + "".join(f"<url><loc>https://h5.test/p/{k}</loc></url>" for k in range(10, 20))
+            + "</urlset>"
+        )
+        sitemaps = spark.createDataFrame(
+            [
+                ("https://h2.test/sitemap.xml", sm_h2),
+                ("https://h5.test/sitemap.xml", sm_h5),
+            ],
+            "sitemap_url string, body string",
+        )
+        return frontier_plan(
+            pages,
+            robots_rules=parse_robots(robots),
+            sitemaps=sitemaps,
+            niters=4,
+            trap_min_urls=100,
+            resolve=False,
+        ).select(
+            "url", "host",
+            F.col("n_refs").cast("long").alias("n_refs"),
+            F.col("host_rank_milli").cast("long").alias("host_rank_milli"),
+            "via",
+        )
 
     def msbfs4(spark, sf):
         return _msbfs_state(spark, sf)
@@ -1219,10 +1374,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return sample_neighbors(_edges(spark, sf), k=3, hash_fn="md5")
 
-    def ktruss3(spark, sf):
+    def ktruss3_kcore10(spark, sf):
+        # gate-cap merge (frees a slot for frontier_plan, round 4): the
+        # two subgraph-extraction peels share one slot via a kind tag —
+        # kcore rows are (id, degree), ktruss rows are (a, b) edges.
+        # k=10 actually peels on the orders-derived graph (840/1500
+        # vertices survive at sf0.01); smaller k keeps everything.
+        from fog_spark.algos import k_core
         from fog_spark.algos.ktruss import k_truss
 
-        return k_truss(_edges(spark, sf), k=3, max_rounds=4)
+        e = _edges(spark, sf)
+        kc = k_core(e, k=10, max_rounds=16).select(
+            F.lit("kcore").alias("kind"),
+            F.col("id").cast("long").alias("x"),
+            F.col("degree").cast("long").alias("y"),
+        )
+        kt = k_truss(e, k=3, max_rounds=4).select(
+            F.lit("ktruss").alias("kind"),
+            F.col("a").cast("long").alias("x"),
+            F.col("b").cast("long").alias("y"),
+        )
+        return kc.unionByName(kt)
 
     def mis12(spark, sf):
         # md5 hash family (oracle-portable); xxhash64 is the production
@@ -1664,12 +1836,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_labels": scc_labels,
         "msf_edges_milli": msf_edges_milli,
         "ppr8_milli": ppr8_milli,
-        "kcore10": kcore10,
+        "frontier_plan": frontier_plan_q,
         "random_walks4": random_walks4,
         "node2vec4": node2vec4,
         "hyperball8": hyperball8,
         "mis12": mis12,
-        "ktruss3": ktruss3,
+        "ktruss3_kcore10": ktruss3_kcore10,
         "hits_salsa4_milli": hits_salsa4_milli,
         "wpagerank8_milli": wpagerank8_milli,
         "host_pagerank4": host_pagerank4,
@@ -1850,12 +2022,15 @@ SELECT r1.a AS id, CAST(MIN(r1.b) AS BIGINT) AS scc
 FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
 GROUP BY r1.a""",
         "ppr8_milli": _ppr_milli_sql(0, 8),
-        "kcore10": _kcore_sql(10, 16),
+        "frontier_plan": _frontier_plan_sql(4, 100),
         "random_walks4": _walks_sql(4),
         "node2vec4": _node2vec_sql(4, p=4, q=0.25, trials=3),
         "hyperball8": _hyperball_sql(16, 8),
         "mis12": _mis_sql(12),
-        "ktruss3": _ktruss_sql(3, 4),
+        "ktruss3_kcore10": f"""
+SELECT 'kcore' AS kind, id AS x, degree AS y FROM ({_kcore_sql(10, 16)})
+UNION ALL
+SELECT 'ktruss' AS kind, a AS x, b AS y FROM ({_ktruss_sql(3, 4)})""",
         "hits_salsa4_milli": _hits_salsa_sql(4),
         "wpagerank8_milli": _wpagerank_milli_sql(8),
         "host_pagerank4": _host_pagerank_sql(4),

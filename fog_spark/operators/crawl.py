@@ -124,6 +124,84 @@ def crawl_frontier(
     return out
 
 
+def frontier_plan(
+    pages: DataFrame,
+    robots_rules: DataFrame | None = None,
+    sitemaps: DataFrame | None = None,
+    niters: int = 8,
+    per_host_cap: int | None = None,
+    trap_min_urls: int | None = None,
+    resolve: bool = True,
+) -> DataFrame:
+    """The full fetch-queue plan a crawl scheduler runs, composed
+    end-to-end from the pieces this package ships separately:
+
+    1. :func:`crawl_frontier` — link targets absent from the crawl,
+       scored by host PageRank and reference count, robots-filtered
+       (``robots_rules`` = parse_robots output) before the per-host cap;
+    2. :func:`sitemap_frontier_seeds` union — pages the sites themselves
+       declare (``sitemaps`` = (sitemap_url, body) frame); seeds bypass
+       the inlink ranking (n_refs/host_rank_milli = 0) but NOT robots —
+       politeness is a MUST-NOT regardless of how a url was found. Seeds
+       already planned as link candidates are dropped (one anti-join);
+    3. :func:`trap_candidates` subtraction — URL templates with
+       ``trap_min_urls``+ distinct candidates (calendar/session/facet
+       traps) are removed from the final queue, sitemap seeds included
+       (a trap reached via sitemap is still a trap).
+
+    Returns ``(url, host, n_refs, host_rank_milli, via)`` with via in
+    {'link', 'sitemap'}, unordered (consumers cap/sort/write it).
+
+    Scale shape: the pieces' own shapes compose — crawl-sized frames
+    only ever equi-join or anti-join; robots rules and the flagged trap
+    templates are broadcast dims; no new shuffle beyond the pieces'."""
+    fr = crawl_frontier(
+        pages, niters=niters, per_host_cap=per_host_cap,
+        resolve=resolve, robots_rules=robots_rules,
+    )
+    plan = fr.select(
+        F.col("dst_url").alias("url"), "host", "n_refs", "host_rank_milli",
+        F.lit("link").alias("via"),
+    )
+    if sitemaps is not None:
+        from fog_spark.operators.sitemaps import sitemap_frontier_seeds
+
+        if resolve:
+            from fog_spark.functions.urlnorm import canonicalize_url
+
+            crawled = pages.select(canonicalize_url(F.col("url")).alias("url"))
+        else:
+            crawled = pages.select("url")
+        seeds = sitemap_frontier_seeds(sitemaps, crawled).select("url", "host")
+        if robots_rules is not None:
+            from fog_spark.operators.robots import frontier_allowed
+
+            seeds = (
+                frontier_allowed(seeds, robots_rules)
+                .where(F.col("allowed"))
+                .drop("allowed")
+            )
+        seeds = seeds.join(plan.select("url"), "url", "left_anti").select(
+            "url", "host",
+            F.lit(0).cast("long").alias("n_refs"),
+            F.lit(0).cast("long").alias("host_rank_milli"),
+            F.lit("sitemap").alias("via"),
+        )
+        plan = plan.unionByName(seeds)
+    if trap_min_urls is not None:
+        traps = trap_candidates(plan, url_col="url", min_urls=trap_min_urls)
+        plan = (
+            plan.withColumn("_tpl", url_template(F.col("url")))
+            .join(
+                F.broadcast(traps.select(F.col("template").alias("_tpl"))),
+                "_tpl",
+                "left_anti",
+            )
+            .drop("_tpl")
+        )
+    return plan
+
+
 def url_template(url: Column) -> Column:
     """Structural template of a canonical URL: the host VERBATIM plus
     the path/query shape with digit runs collapsed to 'N', long (8+)

@@ -134,3 +134,67 @@ def test_url_template_keeps_numbered_hosts_distinct(spark):
         r["t"] for r in df.select(url_template(F.col("dst_url")).alias("t")).collect()
     )
     assert t == ["cdn1.test/img/N.jpg", "cdn2.test/img/N.jpg"]
+
+
+def test_frontier_plan_composition(spark):
+    # the composed fetch-queue plan: sitemap seeds respect robots and the
+    # crawled/planned anti-joins; trap templates vanish plan-wide
+    from fog_spark.operators.crawl import frontier_plan
+    from fog_spark.operators.robots import parse_robots
+    from fog_spark.sources.pages import generate_pages
+    from pyspark.sql import functions as F
+
+    pages = generate_pages(spark, 150).where(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") < 120
+    )
+    first = pages.orderBy("url").first()["url"]  # an actually-crawled url
+    host = first.split("/")[2]
+    # a sitemap declaring one crawled page, one frontier-new page, and
+    # one robots-blocked page
+    body = (
+        f"<urlset><url><loc>{first}</loc></url>"
+        f"<url><loc>https://{host}/fresh/a</loc></url>"
+        f"<url><loc>https://{host}/blocked/b</loc></url></urlset>"
+    )
+    sitemaps = spark.createDataFrame(
+        [(f"https://{host}/sitemap.xml", body)], "sitemap_url string, body string"
+    )
+    robots = spark.createDataFrame(
+        [(host, "User-agent: *\nDisallow: /blocked/*")], "host string, body string"
+    )
+    plan = frontier_plan(
+        pages, robots_rules=parse_robots(robots), sitemaps=sitemaps,
+        niters=2, resolve=False,
+    )
+    rows = plan.collect()
+    by_url = {r["url"]: r for r in rows}
+    assert f"https://{host}/fresh/a" in by_url
+    assert by_url[f"https://{host}/fresh/a"]["via"] == "sitemap"
+    assert first not in by_url  # crawled
+    assert f"https://{host}/blocked/b" not in by_url  # robots applies to seeds
+    assert len(rows) == len(by_url)  # urls unique across link+sitemap
+    # every link row matches the plain crawl_frontier output
+    links = {r["url"] for r in rows if r["via"] == "link"}
+    base = {
+        r["dst_url"]
+        for r in crawl_frontier(
+            pages, niters=2, resolve=False, robots_rules=parse_robots(robots)
+        ).collect()
+    }
+    assert links == base
+
+    # trap subtraction: plant a template family bigger than the threshold
+    # via pages that link to /cal?d=N — all of it must leave the plan
+    did = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    trap_html = F.concat(
+        F.lit('<html><body><a href="https://'), F.lit(host),
+        F.lit("/cal?d="), did.cast("string"), F.lit('">t</a></body></html>'),
+    )
+    tpages = pages.select("url", F.encode(trap_html, "UTF-8").alias("html"))
+    with_trap = frontier_plan(
+        tpages, niters=2, resolve=False, trap_min_urls=50,
+    )
+    urls = [r["url"] for r in with_trap.collect()]
+    assert not any("/cal?d=" in u for u in urls)
+    without_cap = frontier_plan(tpages, niters=2, resolve=False)
+    assert any("/cal?d=" in r["url"] for r in without_cap.collect())

@@ -74,7 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--algo", "-a", required=True, choices=ALGOS)
     p.add_argument("--edges", "-g", required=True,
                    help="edge table path (parquet dir, SNAP edge-list/adj-list text, or pages parquet)")
-    p.add_argument("--format", choices=("parquet", "edgelist", "adjlist", "pages", "warc"),
+    p.add_argument("--format", choices=("parquet", "edgelist", "adjlist", "pages", "warc", "warc-split"),
                    default="parquet")
     p.add_argument("--weighted", action="store_true",
                    help="edgelist only: parse a third weight column")
@@ -195,6 +195,12 @@ def _load_pages(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
         from fog_spark.sources.warc import read_warc
 
         pages = read_warc(spark, args.edges)
+    elif args.format == "warc-split":
+        # byte-range-parallel reader for few huge member-per-record
+        # archives (sources/warc.read_warc_split); same rows as "warc"
+        from fog_spark.sources.warc import read_warc_split
+
+        pages = read_warc_split(spark, args.edges)
     else:
         pages = spark.read.parquet(args.edges)
     if args.collapse_snapshots:
@@ -231,8 +237,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         # weighted host PageRank; wants the raw pages table, not edges
         from fog_spark.operators.hostgraph import host_pagerank_milli
 
-        if args.format not in ("pages", "warc"):
-            raise SystemExit("--algo host-pagerank requires --format pages|warc")
+        if args.format not in ("pages", "warc", "warc-split"):
+            raise SystemExit("--algo host-pagerank requires --format pages|warc|warc-split")
         pages = _load_pages(spark, args)
         return host_pagerank_milli(
             spark, pages, niters=args.pagerank_niters, resolve=args.resolve_links
@@ -242,8 +248,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         # pages -> per-target inlink counts + top-k anchor texts
         from fog_spark.operators.anchortext import anchor_text_rollup
 
-        if args.format not in ("pages", "warc"):
-            raise SystemExit("--algo anchor-text requires --format pages|warc")
+        if args.format not in ("pages", "warc", "warc-split"):
+            raise SystemExit("--algo anchor-text requires --format pages|warc|warc-split")
         pages = _load_pages(spark, args)
         return anchor_text_rollup(pages, k=args.anchor_topk)
 
@@ -252,8 +258,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         # the prioritized fetch queue (operators/crawl.py)
         from fog_spark.operators.crawl import crawl_frontier
 
-        if args.format not in ("pages", "warc"):
-            raise SystemExit("--algo crawl-frontier requires --format pages|warc")
+        if args.format not in ("pages", "warc", "warc-split"):
+            raise SystemExit("--algo crawl-frontier requires --format pages|warc|warc-split")
         pages = _load_pages(spark, args)
         return crawl_frontier(
             pages,
@@ -269,8 +275,8 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         # back to their host names
         from fog_spark.operators.hostgraph import host_graph
 
-        if args.format not in ("pages", "warc"):
-            raise SystemExit("--host-rollup requires --format pages|warc")
+        if args.format not in ("pages", "warc", "warc-split"):
+            raise SystemExit("--host-rollup requires --format pages|warc|warc-split")
         pages = _load_pages(spark, args)
         dim, e = host_graph(pages, resolve=args.resolve_links)
     else:

@@ -112,3 +112,80 @@ def test_warc_to_link_graph(spark, tmp_path):
         ("https://h2.test/p/2", "https://h0.test/p/0"),
         ("https://h2.test/p/2", "https://h1.test/p/1"),
     }
+
+
+def _row_key(r):
+    return (r["url"], r["record_id"], bytes(r["html"]), r["warc_ts"], r["warc_type"])
+
+
+def test_split_reader_matches_sequential_multi_task(spark, tmp_path):
+    # VERDICT r03 "Next round" #4: a multi-member .warc.gz read by MANY
+    # byte-range tasks must yield exactly the sequential reader's rows.
+    # 60 records, range_bytes=512 -> the file spans dozens of ranges and
+    # members straddle range boundaries.
+    import os
+
+    from fog_spark.sources.warc import read_warc_split
+
+    rows = [
+        {
+            "url": f"https://w{i % 7}.test/p/{i}",
+            "warc_date": f"2026-03-{(i % 27) + 1:02d}T00:00:00Z",
+            "body": (f"<html><body>doc {i} " + "x" * (50 + 13 * (i % 9))).encode()
+            + b"</body></html>",
+        }
+        for i in range(60)
+    ]
+    p = str(tmp_path / "big.warc.gz")
+    write_warc(rows, p, compress=True)
+    n_ranges = -(-os.path.getsize(p) // 512)
+    assert n_ranges > 10  # genuinely many parallel units
+    seq = sorted(map(_row_key, read_warc(spark, p).collect()))
+    par = sorted(
+        map(_row_key, read_warc_split(spark, p, range_bytes=512).collect())
+    )
+    assert len(seq) == 60
+    assert par == seq
+
+
+def test_split_reader_plain_file_fallback(spark, tmp_path):
+    # a non-gzip .warc is not splittable: the start==0 range parses the
+    # whole file, other ranges contribute nothing, rows still match
+    from fog_spark.sources.warc import read_warc_split
+
+    p = str(tmp_path / "plain.warc")
+    write_warc(ROWS, p)
+    seq = sorted(map(_row_key, read_warc(spark, p).collect()))
+    par = sorted(map(_row_key, read_warc_split(spark, p, range_bytes=256).collect()))
+    assert par == seq and len(seq) > 0
+
+
+def test_split_reader_skips_inter_member_junk(spark, tmp_path):
+    # junk between members carrying a FALSE gzip magic must be skipped by
+    # validation (inflate fails / payload isn't WARC/) while both real
+    # members are found — the resync case the sequential gzip reader
+    # cannot handle at all
+    from fog_spark.sources.warc import read_warc_split
+
+    def member(i):
+        body = f"<html>m{i}</html>".encode()
+        payload = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Record-ID: <urn:uuid:j-{i}>\r\n".encode()
+            + f"WARC-Target-URI: https://j.test/{i}\r\n".encode()
+            + b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload
+            + b"\r\n\r\n"
+        )
+        return gzip.compress(rec)
+
+    blob = member(0) + b"\x1f\x8b\x08 not a real member " + member(1)
+    p = str(tmp_path / "junk.warc.gz")
+    with open(p, "wb") as f:
+        f.write(blob)
+    got = sorted(
+        r["url"] for r in read_warc_split(spark, p, range_bytes=64).collect()
+    )
+    assert got == ["https://j.test/0", "https://j.test/1"]

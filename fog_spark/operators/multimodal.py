@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode step is STUBBED (no image/audio libs in this container): with
-``fake=True`` a deterministic hash-derived feature vector stands in for
-the real decoder, keeping the Spark-side contract — schema, partitioning,
-UDF signature, Arrow batch shape — real and tested. Swap ``_decode_real``
-for a PIL/ffmpeg call on a cluster with the libs installed; nothing else
-changes.
+The image decode is REAL when Pillow is importable at call time
+(``pil_available``): payload -> PIL decode -> 4x4 grayscale thumbnail ->
+FEATURE_DIM floats. This container ships no Pillow (and no ffmpeg for
+audio/video), so with ``fake=True`` a deterministic hash-derived feature
+vector stands in, keeping the Spark-side contract — schema,
+partitioning, UDF signature, Arrow batch shape — real and tested; the
+PIL path itself is covered by a skip-marked pytest (a 1-pixel PNG
+byte-embedded in the test) that runs wherever Pillow exists.
 """
 
 from __future__ import annotations
@@ -67,11 +69,37 @@ def synth_media(spark, n: int = 64) -> DataFrame:
     )
 
 
+def pil_available() -> bool:
+    """True iff Pillow imports here — checked at CALL time, so the same
+    code runs real decodes on a cluster image that ships Pillow."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
-    raise NotImplementedError(
-        "real decode requires image/audio libraries not present in this "
-        "container; run with fake=True or install PIL/ffmpeg on the cluster"
-    )
+    """Real decode: images via Pillow (4x4 grayscale thumbnail ->
+    FEATURE_DIM floats in [0, 1], a deterministic perceptual sketch);
+    audio/video need ffmpeg and stay honestly unimplemented."""
+    if kind != "image":
+        raise NotImplementedError(
+            f"real decode for kind={kind!r} requires ffmpeg, not present "
+            "in this container; run with fake=True"
+        )
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires Pillow; run with fake=True or "
+            "install Pillow on the cluster"
+        ) from exc
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+    return np.asarray(img, dtype=np.float32).reshape(FEATURE_DIM) / 255.0
 
 
 def _decode_fake(batch: pd.Series) -> np.ndarray:

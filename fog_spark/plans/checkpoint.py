@@ -125,3 +125,154 @@ class CheckpointStore:
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(
             os.path.join(self.root, "_lineage")
         )
+
+
+# --------------------------------------------------------------- iceberg
+
+def pack_state(state: DataFrame, run_id: str, algorithm: str, iteration: int) -> DataFrame:
+    """Generic-table encoding of an arbitrary-schema state frame:
+    (run_id, algorithm, iteration, id, state_json) — state columns other
+    than ``id`` ride as one JSON struct, so EVERY algorithm checkpoints
+    into the single ICEBERG_STATE_DDL table. Pure Column math (to_json
+    of a struct), no Python per row."""
+    from pyspark.sql import functions as F
+
+    others = [c for c in state.columns if c != "id"]
+    return state.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(algorithm).alias("algorithm"),
+        F.lit(iteration).cast("int").alias("iteration"),
+        F.col("id").cast("long").alias("id"),
+        F.to_json(F.struct(*others)).alias("state_json"),
+    )
+
+
+def unpack_state(packed: DataFrame, schema_ddl: str) -> DataFrame:
+    """Inverse of :func:`pack_state`: (id, <state columns>) back under
+    the original schema (recorded in the iteration's meta row)."""
+    from pyspark.sql import functions as F
+
+    return packed.select(
+        "id", F.from_json("state_json", schema_ddl).alias("s")
+    ).select("id", "s.*")
+
+
+class IcebergCheckpointStore:
+    """CheckpointStore twin over real Iceberg tables — the cluster path
+    the module docstring names. Same interface; differences:
+
+    - state/lineage/meta are three Iceberg tables (ICEBERG_STATE_DDL /
+      ICEBERG_LINEAGE_DDL / the meta DDL below) instead of directories;
+    - there is NO commit marker: an Iceberg snapshot commit is already
+      atomic, so the meta row (written AFTER the state append, in its
+      own commit) is the completion record and ``latest_complete`` is a
+      MAX(iteration) over meta rows;
+    - re-running an iteration is idempotent via a DELETE of the
+      (run_id, algorithm, iteration) slice before the append (Iceberg
+      DELETEs are metadata/positional, not file rewrites).
+
+    Constructing this class requires the iceberg-spark-runtime jar and a
+    configured catalog (``iceberg_available``); the sandbox has neither,
+    so the class is exercised by a skip-marked pytest that runs the day
+    a jar appears, while pack/unpack_state (the nontrivial logic) are
+    plain functions tested without Iceberg."""
+
+    META_DDL = """
+CREATE TABLE IF NOT EXISTS {catalog}.fog.checkpoint_meta (
+  run_id string, algorithm string, iteration int,
+  schema_ddl string, meta_json string
+) USING iceberg PARTITIONED BY (run_id)"""
+
+    def __init__(self, spark: SparkSession, catalog: str):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "IcebergCheckpointStore needs a configured Iceberg catalog "
+                "and the iceberg-spark-runtime jar (iceberg_available() is "
+                "False) — use CheckpointStore's parquet fallback here"
+            )
+        self.spark = spark
+        self.catalog = catalog
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.fog")
+        spark.sql(ICEBERG_STATE_DDL.format(catalog=catalog))
+        spark.sql(ICEBERG_LINEAGE_DDL.format(catalog=catalog))
+        spark.sql(self.META_DDL.format(catalog=catalog))
+        self._state_tbl = f"{catalog}.fog.checkpoint_state"
+        self._lineage_tbl = f"{catalog}.fog.lineage"
+        self._meta_tbl = f"{catalog}.fog.checkpoint_meta"
+
+    def _slice_pred(self, run_id: str, algorithm: str, iteration: int) -> str:
+        return (
+            f"run_id = '{run_id}' AND algorithm = '{algorithm}' "
+            f"AND iteration = {int(iteration)}"
+        )
+
+    def write_state(
+        self, run_id: str, algorithm: str, iteration: int, state: DataFrame, meta: dict[str, Any]
+    ) -> DataFrame:
+        schema_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in state.schema.fields if f.name != "id"
+        )
+        pred = self._slice_pred(run_id, algorithm, iteration)
+        # idempotent re-write of a half-committed iteration
+        self.spark.sql(f"DELETE FROM {self._state_tbl} WHERE {pred}")
+        pack_state(state, run_id, algorithm, iteration).writeTo(self._state_tbl).append()
+        # meta row LAST = the commit record (atomic snapshot)
+        self.spark.sql(f"DELETE FROM {self._meta_tbl} WHERE {pred}")
+        self.spark.createDataFrame(
+            [(run_id, algorithm, int(iteration), schema_ddl,
+              json.dumps({"iteration": iteration, **meta}))],
+            "run_id string, algorithm string, iteration int, "
+            "schema_ddl string, meta_json string",
+        ).writeTo(self._meta_tbl).append()
+        return self.read_state(run_id, algorithm, iteration)
+
+    def _meta_row(self, run_id: str, algorithm: str, iteration: int):
+        rows = self.spark.sql(
+            f"SELECT schema_ddl, meta_json FROM {self._meta_tbl} "
+            f"WHERE {self._slice_pred(run_id, algorithm, iteration)}"
+        ).collect()
+        if not rows:
+            raise FileNotFoundError(
+                f"no committed iteration {iteration} for {run_id}/{algorithm}"
+            )
+        return rows[0]
+
+    def read_state(self, run_id: str, algorithm: str, iteration: int) -> DataFrame:
+        row = self._meta_row(run_id, algorithm, iteration)
+        packed = self.spark.table(self._state_tbl).where(
+            self._slice_pred(run_id, algorithm, iteration)
+        )
+        return unpack_state(packed, row["schema_ddl"])
+
+    def read_meta(self, run_id: str, algorithm: str, iteration: int) -> dict[str, Any]:
+        return json.loads(self._meta_row(run_id, algorithm, iteration)["meta_json"])
+
+    def latest_complete(self, run_id: str, algorithm: str) -> int | None:
+        row = self.spark.sql(
+            f"SELECT MAX(iteration) AS it FROM {self._meta_tbl} "
+            f"WHERE run_id = '{run_id}' AND algorithm = '{algorithm}'"
+        ).collect()[0]
+        return None if row["it"] is None else int(row["it"])
+
+    def append_lineage(self, rows: list[tuple]) -> None:
+        if not rows:
+            return
+        self.spark.createDataFrame(rows, LINEAGE_SCHEMA).writeTo(
+            self._lineage_tbl
+        ).append()
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.table(self._lineage_tbl)
+
+
+def make_checkpoint_store(spark: SparkSession, root: str | None):
+    """Factory the engine calls: an IcebergCheckpointStore when a catalog
+    is configured AND the runtime jar loads (``root`` then names the
+    catalog via 'iceberg://<catalog>'); the parquet+marker store
+    otherwise. Zero behavior change where no jar exists."""
+    if root is None:
+        return None
+    if root.startswith("iceberg://"):
+        return IcebergCheckpointStore(spark, root[len("iceberg://"):])
+    return CheckpointStore(spark, root)

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fog_spark import graph as G
-from fog_spark.plans.checkpoint import CheckpointStore
+from fog_spark.plans.checkpoint import make_checkpoint_store
 from fog_spark.plans.materialize import Materializer
 
 
@@ -136,7 +136,9 @@ class ScatterGatherEngine:
     ):
         self.spark = spark
         self.mat = Materializer(spark)
-        self.store = CheckpointStore(spark, checkpoint_dir) if checkpoint_dir else None
+        # checkpoint_dir 'iceberg://<catalog>' routes to the Iceberg
+        # store when the runtime jar + catalog exist (checkpoint.py)
+        self.store = make_checkpoint_store(spark, checkpoint_dir)
         self.checkpoint_every = checkpoint_every
         self.hub_cap = hub_cap
         self.broadcast_frontier_max = broadcast_frontier_max

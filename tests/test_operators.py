@@ -520,3 +520,49 @@ def test_pretoken_count_portable_incl_vertical_tab(spark):
             f"SELECT len(regexp_extract_all(?, '{sql_re}'))", [t]
         ).fetchone()[0]
         assert got[i] == want, (i, t, got[i], want)
+
+
+def test_real_image_decode_when_pil_available(spark):
+    # VERDICT r03 #8: the real Pillow decode path, skip-marked — runs
+    # wherever Pillow exists (this container ships none). The fixture is
+    # a 1x1 8-bit grayscale PNG (value 128) built from the spec with
+    # zlib/struct, byte-embedded so no file or library is needed to
+    # CREATE it.
+    import struct
+    import zlib
+
+    import pytest
+
+    from fog_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _decode_real,
+        extract_features,
+        pil_available,
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x80"))
+        + chunk(b"IEND", b"")
+    )
+    if not pil_available():
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _decode_real(png, "image")
+        pytest.skip("Pillow not installed in this environment")
+    feat = _decode_real(png, "image")
+    assert feat.shape == (FEATURE_DIM,)
+    assert all(abs(v - 128 / 255.0) < 1e-6 for v in feat)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(png), 1, 1, None)],
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    rows = extract_features(media, fake=False).collect()
+    assert len(rows) == 1 and abs(rows[0]["feature"][0] - 128 / 255.0) < 1e-6

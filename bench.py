@@ -683,6 +683,11 @@ are published below.
   memory channels, so the cores-bound 2->8 regime is the honest analog
   of N-vs-4N *executors*; the 8->32 number is reported as measured,
   wall included.
+- BENCH/EXCHANGE_FLOOR.md carries the round-4 per-exchange breakdown
+  (records x B/record vs entropy floor): the steady message exchange
+  ships 10.7 B/record against a ~10.5 B/record information floor, so
+  remaining encoding headroom is <=4% of bytes — no byte-level lever
+  closes the 55-point bandwidth-wall gap at 8->32.
 - bytes-on-the-wire work attacking the memory wall (round 3, measured
   with tools/shuffle_audit.py on the 1M-doc PageRank loop): adjacency
   cache no longer evicted by iteration-state reclamation (was +31 MB

@@ -189,3 +189,33 @@ def test_split_reader_skips_inter_member_junk(spark, tmp_path):
         r["url"] for r in read_warc_split(spark, p, range_bytes=64).collect()
     )
     assert got == ["https://j.test/0", "https://j.test/1"]
+
+
+def test_fogwarc_datasource_matches_readers(spark, tmp_path):
+    # the registered Python Data Source (Spark 4): planning owns the
+    # byte-range partitions natively; rows must equal both other readers
+    from fog_spark.sources.warc_datasource import WarcDataSource, WarcReader
+
+    rows = [
+        {
+            "url": f"https://ds{i % 5}.test/p/{i}",
+            "warc_date": f"2026-04-{(i % 27) + 1:02d}T12:00:00Z",
+            "body": (f"<html>ds {i} " + "y" * (40 + 7 * (i % 11))).encode() + b"</html>",
+        }
+        for i in range(50)
+    ]
+    p = str(tmp_path / "ds.warc.gz")
+    write_warc(rows, p, compress=True)
+    spark.dataSource.register(WarcDataSource)
+    df = (
+        spark.read.format("fogwarc")
+        .option("range_bytes", "512")
+        .load(p)
+    )
+    # planning sees many genuine partitions
+    n_parts = len(WarcReader({"path": p, "range_bytes": "512"}).partitions())
+    assert n_parts > 10
+    got = sorted(map(_row_key, df.collect()))
+    seq = sorted(map(_row_key, read_warc(spark, p).collect()))
+    assert len(got) == 50
+    assert got == seq

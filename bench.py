@@ -51,6 +51,14 @@ PR_ITERS = 5
 SCALING_DOCS = 4_000_000
 SCALING_ITERS = 6
 SCALING_LEVELS = (2, 8, 32)
+# executor-mode scaling (--scaling-executors): N and 4N separate
+# executor JVMs via local-cluster[E,C,M], per-executor resources pinned.
+# 1->4 executors at 4 cores each spans 4->16 total cores — inside this
+# box's bandwidth headroom, so it measures the ENGINE's scale-out, not
+# the one-box memory wall (see run_scaling_executors docstring).
+EXEC_LEVELS = (1, 4)
+EXEC_CORES = 4
+EXEC_MEM_MB = 3584
 
 
 def read_steal() -> tuple[int, int]:
@@ -383,6 +391,7 @@ def run_bench(
     n_docs: int | None = None,
     pr_iters: int = PR_ITERS,
     shuffle_partitions: int | None = None,
+    master: str | None = None,
 ) -> dict:
     from fog_spark.session import get_spark
 
@@ -391,7 +400,7 @@ def run_bench(
         n_docs = n_docs_for(sf)
     spark = get_spark(
         app_name=f"fog-spark-bench-{cpus}", cores=cpus,
-        shuffle_partitions=shuffle_partitions,
+        shuffle_partitions=shuffle_partitions, master=master,
     )
     # Steal gate (same defense as the scaling mode, VERDICT r02): this
     # sandbox's hypervisor injects bursty multi-10s CPU-steal stalls, so
@@ -494,6 +503,153 @@ def run_bench(
     }
 
 
+def _median(xs):
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
+def _collect_gated_trials(levels, one_trial, trials):
+    """Steal-gated trial protocol shared by both scaling modes.
+
+    This sandbox shows bursty hypervisor CPU steal (multi-10s stalls in
+    otherwise-flat iteration streams), so a single trial is a lottery.
+    Defense in depth, all on EXOGENOUS signals (never the measured walls
+    themselves): (1) probe /proc/stat and hold each trial until the box
+    is quiet; (2) re-run any trial whose window still got stolen above
+    the threshold, keeping the lowest-steal attempt; (3) alternate the
+    levels across `trials` fresh-JVM runs and use the MEDIAN
+    steady-state iteration wall per level.
+    """
+    steal_thresh = float(os.environ.get("SPARK_GRAFT_SCALING_STEAL_PCT", "2.0"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_RETRIES", "2")) + 1
+    walls: dict[int, list[int]] = {c: [] for c in levels}
+    steals: dict[int, list[float]] = {c: [] for c in levels}
+    n_edges = None
+    for _ in range(trials):
+        for lv in levels:
+            best = None
+            for _attempt in range(max_attempts):
+                wait_quiet(steal_thresh, max_wait_s=600.0, probe_s=10.0)
+                r = one_trial(lv)
+                if best is None or r["steal_pct"] < best["steal_pct"]:
+                    best = r
+                if r["steal_pct"] <= steal_thresh:
+                    break
+            n_edges = best["n_edges"]
+            walls[lv].extend(best["details"]["pagerank5"]["iter_walls_ms"][1:])
+            steals[lv].append(best["steal_pct"])
+    return walls, steals, n_edges
+
+
+def run_scaling_executors(sf_dir: str, levels=None) -> dict:
+    """North-rule deployment shape, literally: the same pinned PageRank
+    job on a multi-EXECUTOR cluster at N and 4N executors.
+
+    ``local-cluster[E,C,M]`` launches E separate executor JVM processes
+    (own heap, own shuffle server, own task threads) coordinated by a
+    standalone-style scheduler — the closest in-sandbox analog of an
+    E-executor cluster. Per-executor resources are held constant
+    (C cores, M MB) and only the executor COUNT scales, which is how a
+    real cluster scales out. Protocol (graph size, pinned shuffle
+    partitions, steady-state medians, steal gating) is identical to
+    :func:`run_scaling`.
+
+    Caveat recorded in BENCH/BASELINE.md: all executors still share this
+    one box's memory channels, so beyond ~8 total cores the hardware
+    bandwidth wall measured by tools/bandwidth_probe.py applies to this
+    mode exactly as it does to local[N]; a real cluster adds memory
+    bandwidth with every executor, this sandbox cannot.
+    """
+    if levels is None:
+        env = os.environ.get("SPARK_GRAFT_EXEC_LEVELS")
+        levels = tuple(int(x) for x in env.split(",")) if env else EXEC_LEVELS
+    cores_per = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", str(EXEC_CORES)))
+    mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", str(EXEC_MEM_MB)))
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", str(SCALING_DOCS)))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
+    from fog_spark.session import shuffle_partitions_for
+
+    hi_cores = max(levels) * cores_per
+    base = max(2 * hi_cores, shuffle_partitions_for(int(n_docs * 3.5), 250_000))
+    parts = ((base + hi_cores - 1) // hi_cores) * hi_cores
+
+    def one_trial(execs: int) -> dict:
+        import tempfile
+
+        env = dict(os.environ)
+        # driver does planning only here; executors carry the heap
+        env.setdefault("FOG_SPARK_DRIVER_MEM", "8g")
+        env["SPARK_GRAFT_BENCH_RETRIES"] = "0"
+        env["SPARK_GRAFT_BENCH_STEAL_PCT"] = "100"
+        env["SPARK_GRAFT_BENCH_MEDIAN_TRIALS"] = "1"
+        s0 = read_steal()
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            json_out = tf.name
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--master", f"local-cluster[{execs},{cores_per},{mem_mb}]",
+             "--cpus", str(execs * cores_per),
+             "--only", "pagerank5", "--sf-dir", sf_dir,
+             "--n-docs", str(n_docs), "--pr-iters", str(SCALING_ITERS),
+             "--shuffle-partitions", str(parts), "--json-out", json_out],
+            capture_output=True, text=True, check=True, cwd=REPO, env=env,
+        )
+        with open(json_out) as f:
+            r = json.load(f)
+        os.unlink(json_out)
+        r["steal_pct"] = steal_pct_between(s0, read_steal())
+        return r
+
+    walls, steals, n_edges = _collect_gated_trials(levels, one_trial, trials)
+    eps = {e: n_edges / (_median(walls[e]) / 1000.0) for e in levels}
+    pairs = {
+        f"{lo}->{hi}": round((eps[hi] / eps[lo]) / (hi / lo), 3)
+        for lo, hi in zip(levels, levels[1:])
+    }
+    report = {
+        "metric": "pagerank_executor_scaling_efficiency",
+        "value": pairs[f"{levels[0]}->{levels[1]}"],
+        "unit": "ratio",
+        "sf": sf_of(sf_dir),
+        "n_docs": n_docs,
+        "pr_iters": SCALING_ITERS,
+        "trials": trials,
+        "cores_per_executor": cores_per,
+        "executor_mem_mb": mem_mb,
+        "shuffle_partitions": parts,
+        "pair_efficiencies": pairs,
+        "levels": {
+            str(e): {
+                "executors": e,
+                "total_cores": e * cores_per,
+                "median_steady_iter_ms": _median(walls[e]),
+                "steady_edges_per_sec_per_iter": round(eps[e]),
+                "steady_iter_walls_ms": walls[e],
+                "steal_pct_per_trial": steals[e],
+            }
+            for e in levels
+        },
+        "n_edges": n_edges,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "EXEC_SCALING.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    # refresh BASELINE.md's executor section alongside the thread report
+    thread_report = _read_json(os.path.join(REPO, "BENCH", "THREAD_SCALING.json"))
+    if thread_report:
+        _write_baseline_md(thread_report, [int(c) for c in thread_report["levels"]])
+    return report
+
+
+def _read_json(path: str):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def run_scaling(sf_dir: str, levels=None) -> dict:
     """Same job (PageRank on the same synthetic graph), two parallelism
     levels, each in a fresh JVM so executor-thread count is honest.
@@ -553,40 +709,9 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
         r["steal_pct"] = steal_pct_between(s0, read_steal())
         return r
 
-    # This sandbox shows bursty hypervisor CPU steal (multi-10s stalls in
-    # otherwise-flat iteration streams), so a single trial is a lottery.
-    # Defense in depth, all on EXOGENOUS signals (never the measured walls
-    # themselves): (1) probe /proc/stat and hold each trial until the box
-    # is quiet; (2) re-run any trial whose window still got stolen above
-    # the threshold, keeping the lowest-steal attempt; (3) alternate the
-    # levels across `trials` fresh-JVM runs and use the MEDIAN
-    # steady-state iteration wall per level.
-    steal_thresh = float(os.environ.get("SPARK_GRAFT_SCALING_STEAL_PCT", "2.0"))
-    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_RETRIES", "2")) + 1
+    walls, steals, n_edges = _collect_gated_trials(levels, one_trial, trials)
 
-    walls: dict[int, list[int]] = {c: [] for c in levels}
-    steals: dict[int, list[float]] = {c: [] for c in levels}
-    n_edges = None
-    for _ in range(trials):
-        for cpus in levels:
-            best = None
-            for _attempt in range(max_attempts):
-                wait_quiet(steal_thresh, max_wait_s=600.0, probe_s=10.0)
-                r = one_trial(cpus)
-                if best is None or r["steal_pct"] < best["steal_pct"]:
-                    best = r
-                if r["steal_pct"] <= steal_thresh:
-                    break
-            n_edges = best["n_edges"]
-            walls[cpus].extend(best["details"]["pagerank5"]["iter_walls_ms"][1:])
-            steals[cpus].append(best["steal_pct"])
-
-    def median(xs):
-        s = sorted(xs)
-        m = len(s) // 2
-        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
-
-    eps = {c: n_edges / (median(walls[c]) / 1000.0) for c in levels}
+    eps = {c: n_edges / (_median(walls[c]) / 1000.0) for c in levels}
     # pairwise efficiency for every consecutive pair (each is the
     # north rule's N-vs-4N shape with the default levels 2, 8, 32)
     pairs = {
@@ -607,7 +732,7 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
         "pair_efficiencies": pairs,
         "levels": {
             str(c): {
-                "median_steady_iter_ms": median(walls[c]),
+                "median_steady_iter_ms": _median(walls[c]),
                 "steady_edges_per_sec_per_iter": round(eps[c]),
                 "steady_iter_walls_ms": walls[c],
                 "steal_pct_per_trial": steals[c],
@@ -616,8 +741,67 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
         },
         "n_edges": n_edges,
     }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "THREAD_SCALING.json"), "w") as f:
+        json.dump(report, f, indent=1)
     _write_baseline_md(report, levels)
     return report
+
+
+def _exec_section() -> str:
+    """Markdown section for the executor-mode scaling record, if one has
+    been measured (BENCH/EXEC_SCALING.json from --scaling-executors)."""
+    er = _read_json(os.path.join(REPO, "BENCH", "EXEC_SCALING.json"))
+    if not er:
+        return ""
+    lv = er["levels"]
+    rows = "\n".join(
+        f"| local-cluster[{lv[k]['executors']},{er['cores_per_executor']},"
+        f"{er['executor_mem_mb']}] | {lv[k]['executors']} | "
+        f"{lv[k]['total_cores']} | {lv[k]['median_steady_iter_ms']:,} | "
+        f"{lv[k]['steady_edges_per_sec_per_iter']:,} |"
+        for k in sorted(lv, key=int)
+    )
+    effs = "\n".join(
+        f"- **executor-scaling efficiency ({pair} executors, median "
+        f"steady-state): {v}**"
+        for pair, v in er["pair_efficiencies"].items()
+    )
+    steal = "\n".join(
+        f"- steal % during {lv[k]['executors']}-executor trials: "
+        f"{lv[k].get('steal_pct_per_trial', [])}"
+        for k in sorted(lv, key=int)
+    )
+    return f"""
+## Executor-mode scaling (N vs 4N executors, separate JVMs)
+
+The north rule prescribes N and 4N EXECUTORS. `python bench.py
+--scaling-executors` runs the same pinned PageRank job (same graph,
+{er['n_docs']:,} docs / {er['n_edges']:,} edges, same
+{er['shuffle_partitions']} shuffle partitions) on
+`local-cluster[E,{er['cores_per_executor']},{er['executor_mem_mb']}]` —
+E separate executor JVM processes, each with its own heap, shuffle
+server and task threads, coordinated like a standalone cluster. Only
+the executor count changes between levels; per-executor resources are
+pinned, which is how a real cluster scales out. Protocol identical to
+the thread-mode run (fresh JVMs, steady-state medians over
+{er['trials']} alternating trials, steal-gated).
+
+| master | executors | total cores | median steady iter (ms) | steady e/s/iter |
+|---|---|---|---|---|
+{rows}
+
+{effs}
+{steal}
+- The default pair 1->4 executors (4->16 total cores) stays inside this
+  box's memory-bandwidth headroom, so it measures the engine's
+  scale-out behavior — cross-executor shuffle over the block-transfer
+  service included — rather than the one-box memory wall that caps ANY
+  job beyond ~8 cores here (bandwidth_probe ceiling 0.457 at 8->32).
+  All executors still share one machine's memory channels; a real 4N
+  cluster adds channels with every executor, this sandbox cannot.
+- generated by `python bench.py --scaling-executors`
+"""
 
 
 def _write_baseline_md(report: dict, levels) -> None:
@@ -699,7 +883,7 @@ are published below.
   10^12-document target, so the remaining exchange volume is the
   algorithm's message traffic, not encoding overhead.
 - generated by `python bench.py --scaling`
-"""
+{_exec_section()}"""
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
 
@@ -710,6 +894,15 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--only", action="append", help="run only these queries")
     ap.add_argument("--scaling", action="store_true", help="two-level scaling run")
+    ap.add_argument(
+        "--scaling-executors", action="store_true",
+        help="N-vs-4N EXECUTOR scaling via local-cluster[E,C,M] (separate JVMs)",
+    )
+    ap.add_argument(
+        "--master", default=None,
+        help="explicit Spark master URL (e.g. local-cluster[4,4,3584]); "
+        "--cpus then only sizes parallelism confs",
+    )
     ap.add_argument("--n-docs", type=int, default=None, help="override graph size")
     ap.add_argument("--pr-iters", type=int, default=PR_ITERS)
     ap.add_argument(
@@ -723,10 +916,12 @@ def main() -> None:
     args = ap.parse_args()
     if args.scaling:
         report = run_scaling(args.sf_dir)
+    elif args.scaling_executors:
+        report = run_scaling_executors(args.sf_dir)
     else:
         report = run_bench(
             args.sf_dir, args.cpus, args.only, args.n_docs, args.pr_iters,
-            args.shuffle_partitions,
+            args.shuffle_partitions, args.master,
         )
     # Full report (per-iteration walls etc.) goes to a FILE; stdout gets a
     # COMPACT one-liner as the LAST line — round 3's full dump outgrew the

@@ -19,14 +19,23 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cores: local[N] parallelism; defaults to $SPARK_GRAFT_CPUS or '*'.
     shuffle_partitions: defaults to max(2*cores, 8) — on a real cluster
     use :func:`shuffle_partitions_for` to size from the edge count.
+    master: explicit master URL (or $SPARK_GRAFT_MASTER) — overrides the
+    local[cores] derivation; ``cores`` then only sizes the parallelism
+    confs. Used by the executor-scaling bench to run the same job on
+    ``local-cluster[E,C,M]`` (separate executor JVMs, the in-sandbox
+    analog of an N-executor cluster).
     """
-    if cores is None:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is not None:
+        ncores = cores if cores is not None else (os.cpu_count() or 8)
+    elif cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
         ncores = int(env) if env else (os.cpu_count() or 8)
@@ -58,6 +67,18 @@ def get_spark(
         # local[8] regime, the right trade at the 100 TB target.
         .config("spark.io.compression.codec", "zstd")
     )
+    if master.startswith("local-cluster["):
+        # local-cluster[E,C,M]: M is each worker's memory budget in MB;
+        # the executor JVM it launches must fit inside it (Spark's
+        # default 1g would under-use a bigger worker; a bigger default
+        # would fail to launch). Leave 512 MB headroom for the worker.
+        try:
+            worker_mb = int(master.rstrip("]").split(",")[2])
+            builder = builder.config(
+                "spark.executor.memory", f"{max(1024, worker_mb - 512)}m"
+            )
+        except (IndexError, ValueError):
+            pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -6,10 +6,14 @@ Proves the north rule's deployment claim with a real spark-submit:
 1. zip the ``fog_spark`` package (the artifact a cluster submit ships);
 2. synthesize a small deterministic edge parquet with pyarrow (no Spark
    on the orchestrator side);
-3. run ``spark-submit --master local[4] --py-files fog_spark.zip
+3. run ``spark-submit --master <master> --py-files fog_spark.zip
    tools/submit_job.py --algo pagerank-milli ...`` from a SCRATCH cwd —
    ``fog_spark`` is importable only through the zip, so a zip packaging
-   bug (missing subpackage, bad __init__) fails loudly here;
+   bug (missing subpackage, bad __init__) fails loudly here. Master
+   defaults to ``local[4]``; pass e.g. ``local-cluster[2,2,1024]`` (argv
+   1) to submit onto a MULTI-EXECUTOR cluster — two separate executor
+   JVMs that each receive the zip via --py-files, the north rule's
+   literal deployment shape;
 4. read the output parquet back and compare every vertex against a
    pure-Python evaluation of the FOG recurrence
    (/root/reference/application/pagerank.hpp:37-94) — exact longs.
@@ -89,7 +93,8 @@ def fog_pagerank_milli_oracle(edges: list[tuple[int, int]], niters: int) -> dict
     return rank
 
 
-def main() -> int:
+def main(master: str | None = None) -> int:
+    master = master or (sys.argv[1] if len(sys.argv) > 1 else "local[4]")
     work = tempfile.mkdtemp(prefix="fog_spark_submit_")
     try:
         zpath = build_zip(work)
@@ -109,7 +114,7 @@ def main() -> int:
         env.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
         cmd = [
             spark_submit,
-            "--master", "local[4]",
+            "--master", master,
             "--conf", "spark.ui.enabled=false",
             "--conf", "spark.sql.shuffle.partitions=8",
             "--py-files", zpath,
@@ -146,7 +151,7 @@ def main() -> int:
                     "niters": NITERS,
                     "mismatches": len(mismatches),
                     "zip": os.path.basename(zpath),
-                    "mode": "spark-submit --py-files, scratch cwd",
+                    "mode": f"spark-submit --py-files, scratch cwd, master={master}",
                 }
             )
         )

@@ -15,10 +15,14 @@ in the reference (graph algorithms only); semantics follow RFC 9309:
   §2.2.2); Allow wins a length tie; no matching rule means allowed;
   empty rule values contribute nothing.
 
-Remaining simplification (documented): URLs are matched as-spelled —
-no percent-encoding normalization of rule/path octets (§2.2.2's
-UTF-8/percent-encoding equivalence); canonicalize_url upstream handles
-the usual casing/port forms.
+Percent-encoding equivalence (§2.2.2): both rule values and URL paths
+are normalized before matching — ``%XX`` triplets decoding to an
+unreserved octet (ALPHA / DIGIT / ``-._~``) become the literal char,
+all other valid triplets get uppercase hex, a bare ``%`` stays literal
+— so ``/a%3cd.html`` matches ``/a%3Cd.html`` and ``/f%7Eb`` matches
+``/f~b`` while reserved octets (``%2F``) stay encoded and distinct
+from their literal form, per the RFC. canonicalize_url upstream
+handles the usual casing/port forms.
 
 Scale shape: parsing is a per-row line fold over each robots body (pure
 Column math; robots files are a few hundred lines). The frontier filter
@@ -125,6 +129,31 @@ def parse_robots(
     ).select("host", "r.allow", "r.prefix")
 
 
+def _pct_normalize(s: Column) -> Column:
+    """RFC 9309 §2.2.2 percent-encoding normalization, pure Column math:
+    each valid ``%XX`` triplet either decodes (unreserved octets:
+    ALPHA / DIGIT / ``-._~`` — encoding them never changes meaning) or
+    has its hex digits uppercased (reserved/other octets keep their
+    encoded spelling, e.g. ``%2F`` stays distinct from ``/``); a ``%``
+    not opening a valid triplet is literal. Applying the same map to
+    rule values and URL paths makes matching spelling-insensitive."""
+    toks = F.regexp_extract_all(s, F.lit("(%[0-9A-Fa-f]{2}|%|[^%]+)"), 1)
+    def norm(t: Column) -> Column:
+        hexpair = F.upper(F.substring(t, 2, 2))
+        code = F.conv(hexpair, 16, 10).cast("int")
+        unreserved = (
+            code.between(48, 57)   # 0-9
+            | code.between(65, 90)  # A-Z
+            | code.between(97, 122)  # a-z
+            | code.isin(45, 46, 95, 126)  # - . _ ~
+        )
+        return F.when(
+            t.rlike("^%[0-9A-Fa-f]{2}$"),
+            F.when(unreserved, F.char(code)).otherwise(F.concat(F.lit("%"), hexpair)),
+        ).otherwise(t)
+    return F.array_join(F.transform(toks, norm), "")
+
+
 def _pattern_regex(pattern: Column) -> Column:
     """RFC 9309 rule value -> anchored Java regex: ``*`` matches any char
     run, a TRAILING ``$`` anchors at end-of-path (mid-pattern ``$`` is a
@@ -165,12 +194,17 @@ def frontier_allowed(
             ),
         )
     )
+    # percent-normalize BOTH sides so rule-vs-path matching is spelling-
+    # insensitive (§2.2.2); rule lengths (most-specific precedence) are
+    # measured on the same canonical octets the match runs on
+    u = u.withColumn("_path", _pct_normalize(F.col("_path")))
+    norm_prefix = _pct_normalize(F.col("prefix"))
     r = F.broadcast(
         rules.select(
             F.col("host").alias("_host"),
             F.col("allow").alias("_r_allow"),
-            F.length("prefix").alias("_r_len"),
-            _pattern_regex(F.col("prefix")).alias("_r_rx"),
+            F.length(norm_prefix).alias("_r_len"),
+            _pattern_regex(norm_prefix).alias("_r_rx"),
         )
     )
     matched = (

@@ -164,6 +164,49 @@ def test_rfc9309_wildcard_examples(spark):
         assert got[f"https://h{i}.test{path}"] == want, (body, path)
 
 
+def test_pct_encoding_equivalence(spark):
+    # RFC 9309 §2.2.2: matching is on normalized octets — hex case is
+    # insignificant, unreserved octets compare equal encoded or not,
+    # reserved octets (%2F) keep their encoded spelling and stay
+    # distinct from the literal character.
+    cases = [
+        # hex case equivalence both directions
+        ("User-agent: *\nDisallow: /a%3cd.html", "/a%3Cd.html", False),
+        ("User-agent: *\nDisallow: /a%3Cd.html", "/a%3cd.html", False),
+        # unreserved octet: encoded rule matches literal path and back
+        ("User-agent: *\nDisallow: /f%7Eb", "/f~b", False),
+        ("User-agent: *\nDisallow: /f~b", "/f%7eb", False),
+        ("User-agent: *\nDisallow: /%61bc", "/abc", False),
+        # reserved %2F stays encoded: does NOT match a literal slash...
+        ("User-agent: *\nDisallow: /a%2Fb", "/a/b", True),
+        # ...but matches the (case-folded) encoded spelling
+        ("User-agent: *\nDisallow: /a%2Fb", "/a%2fb", False),
+        # a bare % not opening a triplet is literal
+        ("User-agent: *\nDisallow: /100%", "/100%off", False),
+        ("User-agent: *\nDisallow: /100%", "/100", True),
+        # %2A is an encoded asterisk, NOT a wildcard
+        ("User-agent: *\nDisallow: /x%2Ay", "/xZy", True),
+        ("User-agent: *\nDisallow: /x%2Ay", "/x%2ay", False),
+        # normalization composes with wildcards/anchors
+        ("User-agent: *\nDisallow: /*%7E$", "/dir/%7e", False),
+        ("User-agent: *\nDisallow: /*%7E$", "/dir/~x", True),
+    ]
+    robots = spark.createDataFrame(
+        [(f"h{i}.test", body) for i, (body, _, _) in enumerate(cases)],
+        "host string, body string",
+    )
+    urls = spark.createDataFrame(
+        [(f"https://h{i}.test{path}",) for i, (_, path, _) in enumerate(cases)],
+        "url string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in frontier_allowed(urls, parse_robots(robots)).collect()
+    }
+    for i, (body, path, want) in enumerate(cases):
+        assert got[f"https://h{i}.test{path}"] == want, (body, path)
+
+
 def test_extra_columns_survive(spark, rules):
     urls = spark.createDataFrame(
         [("https://a.test/private/x", 7), ("https://a.test/fine", 9)],

@@ -137,7 +137,22 @@ def canonicalize_url(url: Column) -> Column:
 def page_links(pages: DataFrame, follow_only: bool = False) -> DataFrame:
     """(url, dst_url, anchor, nofollow) — every kept link, resolved and
     canonicalized. ``follow_only`` drops rel="nofollow" rows (what a
-    PageRank-for-crawl-prioritization ingest wants)."""
+    PageRank-for-crawl-prioritization ingest wants).
+
+    Same semantics as ``canonicalize_url(resolve_href(url, href))``, but
+    STAGED through materialized intermediate columns: composing the two
+    Column helpers copies every reused subtree into each reference
+    (``h`` 7x inside resolve, the whole resolved tree 5x inside
+    canonicalize, ``hostport`` 5x, ...), which blows the generated
+    projection past the JVM's 64 KB method limit — Janino throws "Code
+    grows beyond 64 KB" and Spark silently falls back to interpreted
+    projection, which then re-evaluates those duplicated regex subtrees
+    per row. Each select below aliases every value referenced more than
+    once downstream; CollapseProject keeps non-cheap multi-referenced
+    aliases as separate projections (SPARK-36718), so each operator's
+    code stays small and the whole chain stays inside one
+    WholeStageCodegen span. Pinned by tests/test_urlnorm.py (equal to
+    the pandas twin AND codegen-clean under fallback-strict confs)."""
     a = pages.select(
         "url", F.explode(anchors_col(F.col("html"))).alias("a")
     ).select(
@@ -146,13 +161,100 @@ def page_links(pages: DataFrame, follow_only: bool = False) -> DataFrame:
         F.col("a.anchor").alias("anchor"),
         F.col("a.nofollow").alias("nofollow"),
     )
-    out = (
-        a.withColumn(
-            "dst_url", canonicalize_url(resolve_href(F.col("url"), F.col("href")))
+    h = F.col("_h")
+    base_path = F.col("_base_path")
+    # resolve_href, staged: _h / _base_path / _scheme / _base_dir are
+    # each computed once and referenced as columns
+    s = a.select(
+        "url", "anchor", "nofollow",
+        F.regexp_replace(F.col("href"), _WS_EDGES, "").alias("_h"),
+        F.regexp_replace(F.col("url"), r"[?#].*$", "").alias("_base_path"),
+    ).select(
+        "*",
+        F.regexp_extract(h, _SCHEME_RE, 1).alias("_scheme"),
+        F.when(
+            F.regexp_extract(
+                base_path, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*$", 0
+            )
+            != "",
+            F.concat(base_path, F.lit("/")),
         )
-        .where(F.col("dst_url").isNotNull())
-        .select("url", "dst_url", "anchor", "nofollow")
+        .otherwise(F.regexp_replace(base_path, r"[^/]*$", ""))
+        .alias("_base_dir"),
     )
+    scheme = F.col("_scheme")
+    resolved = (
+        F.when((h == "") | h.startswith("#"), F.lit(None).cast("string"))
+        .when(
+            scheme != "",
+            F.when(F.lower(scheme).isin("http", "https"), h).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        .when(
+            h.startswith("//"),
+            F.concat(F.regexp_extract(F.col("url"), _SCHEME_RE, 1), F.lit(":"), h),
+        )
+        .when(
+            h.startswith("/"),
+            F.concat(F.regexp_extract(F.col("url"), _ROOT_RE, 1), h),
+        )
+        .when(h.startswith("?"), F.concat(base_path, h))
+        .otherwise(F.concat(F.col("_base_dir"), h))
+    )
+    # drop dead links HERE, on _resolved, not on dst_url at the end: a
+    # final dst_url filter gets substituted down through every staged
+    # projection by predicate pushdown (which has no
+    # expression-duplication guard, unlike CollapseProject) and
+    # re-inlines the whole pipeline into one >64 KB Filter condition.
+    # _resolved null is the ONLY null source downstream (regexp_* and
+    # concat over non-null inputs never return null), so this filter is
+    # exactly dst_url IS NOT NULL.
+    s = s.select("url", "anchor", "nofollow", resolved.alias("_resolved")).where(
+        F.col("_resolved").isNotNull()
+    )
+    # canonicalize_url, staged
+    s = s.select(
+        "*", F.regexp_replace(F.col("_resolved"), r"#.*$", "").alias("_u")
+    )
+    u = F.col("_u")
+    s = s.select(
+        "*",
+        F.lower(F.regexp_extract(u, _SCHEME_RE, 1)).alias("_cscheme"),
+        F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]*)", 1)).alias("_hostport"),
+        F.regexp_replace(u, r"^[^:]+://[^/?#]*", "").alias("_rest"),
+    )
+    cscheme, hostport, rest = F.col("_cscheme"), F.col("_hostport"), F.col("_rest")
+    host = (
+        F.when(
+            (cscheme == "http") & hostport.endswith(":80"),
+            F.regexp_replace(hostport, r":80$", ""),
+        )
+        .when(
+            (cscheme == "https") & hostport.endswith(":443"),
+            F.regexp_replace(hostport, r":443$", ""),
+        )
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    for _ in range(_DOT_ROUNDS):
+        path = F.regexp_replace(path, _DOT_SLASH, "")
+        path = F.regexp_replace(path, _UP_SEG, "")
+    for _ in range(_DOT_ROUNDS):
+        path = F.regexp_replace(path, r"^/\.\.(?=/|$)", "")
+    s = s.select(
+        "url", "anchor", "nofollow", "_cscheme",
+        host.alias("_host"),
+        path.alias("_path"),
+        F.regexp_replace(rest, r"^[^?]*", "").alias("_query"),
+    )
+    p = F.col("_path")
+    dst = F.concat(
+        F.col("_cscheme"), F.lit("://"), F.col("_host"),
+        F.when(p.startswith("/"), p).otherwise(F.concat(F.lit("/"), p)),
+        F.col("_query"),
+    )
+    out = s.select("url", dst.alias("dst_url"), "anchor", "nofollow")
     if follow_only:
         out = out.where(~F.col("nofollow"))
     return out

@@ -270,3 +270,23 @@ def test_strip_tracking_params(spark):
     got = df.select(strip_tracking_params(F.col("u")).alias("g"), "want").collect()
     for r in got:
         assert r["g"] == r["want"], (r["g"], r["want"])
+
+
+def test_page_links_codegen_compiles(spark):
+    # Regression: composing canonicalize_url(resolve_href(...)) as one
+    # Column expression copies every reused subtree into each reference
+    # and the generated projection blows the JVM's 64 KB method limit —
+    # Spark then silently falls back to interpreted projection (seen as
+    # "Code grows beyond 64 KB" driver noise and a ~2.7x slower scan).
+    # page_links is staged through materialized intermediates precisely
+    # to stay inside codegen; strict fallback confs make any compile
+    # failure a hard error instead of a silent downgrade.
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        got = sorted(
+            tuple(r) for r in page_links(_pages(spark, FIXTURE)).collect()
+        )
+        assert got == sorted(EXPECTED)
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)

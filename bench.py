@@ -21,9 +21,11 @@ N and 4N executors; no real cluster in this sandbox, so two stand-ins):
 - `--scaling-executors` (executor mode): the same pinned job on
   local-cluster[E,C,M] — E SEPARATE executor JVM processes, per-executor
   resources held constant — at 1 and 4 executors, the literal N-vs-4N
-  executor shape (results to BENCH/EXEC_SCALING.json).
+  executor shape (results to BENCH/EXEC_SCALING.json);
+- `--scaling-data` (weak scaling): same parallelism, graphs 4x apart,
+  per-edge throughput ratio (results to BENCH/DATA_SCALING.json).
 
-Both write/refresh BENCH/BASELINE.md.
+All write/refresh BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -67,6 +69,13 @@ SCALING_LEVELS = (2, 8, 32)
 EXEC_LEVELS = (1, 4)
 EXEC_CORES = 2
 EXEC_MEM_MB = 3584
+# data weak-scaling (--scaling-data): same parallelism (local[32]), the
+# SAME job on graphs 4x apart in size, each level's shuffle-partition
+# count sized from ITS data (constant per-task partition size — how a
+# production job re-sizes when the corpus grows). Per-edge throughput
+# should stay flat; the ratio is the "does the plan survive a data
+# scale-up" evidence the 100 TB target asks about.
+DATA_LEVELS = (4_000_000, 16_000_000)
 
 
 def read_steal() -> tuple[int, int]:
@@ -657,6 +666,108 @@ def run_scaling_executors(sf_dir: str, levels=None) -> dict:
     return report
 
 
+def run_scaling_data(sf_dir: str, levels=None) -> dict:
+    """Weak scaling over DATA size: the same PageRank job at the SAME
+    parallelism (local[32] fresh JVMs) on synthetic graphs 4x apart
+    (DATA_LEVELS docs). Each level's shuffle-partition count is sized
+    from its own data via shuffle_partitions_for (constant per-task
+    partition size — how a production job re-sizes as the corpus
+    grows), so the comparison measures whether per-edge iteration cost
+    stays flat when the data quadruples, not how one pinned partition
+    count degrades. Steal-gated median steady-state protocol identical
+    to the other scaling modes. Efficiency = eps_big / eps_small on
+    steady-state edges/sec/iteration; 1.0 is perfectly flat per-edge
+    cost."""
+    if levels is None:
+        env = os.environ.get("SPARK_GRAFT_DATA_LEVELS")
+        levels = tuple(int(x) for x in env.split(",")) if env else DATA_LEVELS
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
+    from fog_spark.session import shuffle_partitions_for
+
+    def parts_for(n_docs: int) -> int:
+        base = max(2 * cpus, shuffle_partitions_for(int(n_docs * 3.5), 250_000))
+        return ((base + cpus - 1) // cpus) * cpus
+
+    def one_trial(n_docs: int) -> dict:
+        import tempfile
+
+        env = dict(os.environ)
+        env.setdefault("FOG_SPARK_DRIVER_MEM", "16g")
+        env["SPARK_GRAFT_BENCH_RETRIES"] = "0"
+        env["SPARK_GRAFT_BENCH_STEAL_PCT"] = "100"
+        env["SPARK_GRAFT_BENCH_MEDIAN_TRIALS"] = "1"
+        s0 = read_steal()
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            json_out = tf.name
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
+             "--only", "pagerank5", "--sf-dir", sf_dir,
+             "--n-docs", str(n_docs), "--pr-iters", str(SCALING_ITERS),
+             "--shuffle-partitions", str(parts_for(n_docs)),
+             "--json-out", json_out],
+            capture_output=True, text=True, check=True, cwd=REPO, env=env,
+        )
+        with open(json_out) as f:
+            r = json.load(f)
+        os.unlink(json_out)
+        r["steal_pct"] = steal_pct_between(s0, read_steal())
+        return r
+
+    steal_thresh = float(os.environ.get("SPARK_GRAFT_SCALING_STEAL_PCT", "2.0"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_RETRIES", "2")) + 1
+    walls: dict[int, list[int]] = {d: [] for d in levels}
+    steals: dict[int, list[float]] = {d: [] for d in levels}
+    n_edges: dict[int, int] = {}
+    for _ in range(trials):
+        for lv in levels:
+            best = None
+            for _attempt in range(max_attempts):
+                wait_quiet(steal_thresh, max_wait_s=600.0, probe_s=10.0)
+                r = one_trial(lv)
+                if best is None or r["steal_pct"] < best["steal_pct"]:
+                    best = r
+                if r["steal_pct"] <= steal_thresh:
+                    break
+            n_edges[lv] = best["n_edges"]
+            walls[lv].extend(best["details"]["pagerank5"]["iter_walls_ms"][1:])
+            steals[lv].append(best["steal_pct"])
+    eps = {d: n_edges[d] / (_median(walls[d]) / 1000.0) for d in levels}
+    pairs = {
+        f"{lo}->{hi}": round(eps[hi] / eps[lo], 3)
+        for lo, hi in zip(levels, levels[1:])
+    }
+    report = {
+        "metric": "pagerank_data_weak_scaling_efficiency",
+        "value": pairs[f"{levels[0]}->{levels[1]}"],
+        "unit": "ratio (eps_big/eps_small, 1.0 = flat per-edge cost)",
+        "sf": sf_of(sf_dir),
+        "cpus": cpus,
+        "pr_iters": SCALING_ITERS,
+        "trials": trials,
+        "pair_efficiencies": pairs,
+        "levels": {
+            str(d): {
+                "n_docs": d,
+                "n_edges": n_edges[d],
+                "shuffle_partitions": parts_for(d),
+                "median_steady_iter_ms": _median(walls[d]),
+                "steady_edges_per_sec_per_iter": round(eps[d]),
+                "steady_iter_walls_ms": walls[d],
+                "steal_pct_per_trial": steals[d],
+            }
+            for d in levels
+        },
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "DATA_SCALING.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    thread_report = _read_json(os.path.join(REPO, "BENCH", "THREAD_SCALING.json"))
+    if thread_report:
+        _write_baseline_md(thread_report, [int(c) for c in thread_report["levels"]])
+    return report
+
+
 def _read_json(path: str):
     try:
         with open(path) as f:
@@ -839,6 +950,52 @@ steady-state medians over alternating trials, steal-gated).
 """
 
 
+def _data_section() -> str:
+    """Markdown section for the data weak-scaling record, if measured
+    (BENCH/DATA_SCALING.json from --scaling-data)."""
+    er = _read_json(os.path.join(REPO, "BENCH", "DATA_SCALING.json"))
+    if not er:
+        return ""
+    lv = er["levels"]
+    rows = "\n".join(
+        f"| {lv[k]['n_docs']:,} | {lv[k]['n_edges']:,} | "
+        f"{lv[k]['shuffle_partitions']} | {lv[k]['median_steady_iter_ms']:,} | "
+        f"{lv[k]['steady_edges_per_sec_per_iter']:,} |"
+        for k in sorted(lv, key=int)
+    )
+    effs = "\n".join(
+        f"- **data weak-scaling efficiency ({pair} docs, "
+        f"eps_big/eps_small): {v}**"
+        for pair, v in er["pair_efficiencies"].items()
+    )
+    steal = "\n".join(
+        f"- steal % during {lv[k]['n_docs']:,}-doc trials: "
+        f"{lv[k].get('steal_pct_per_trial', [])}"
+        for k in sorted(lv, key=int)
+    )
+    return f"""
+## Data weak-scaling (same resources, 4x the graph)
+
+The 100 TB question is not only "more executors" but "more data on the
+same plan". `python bench.py --scaling-data` runs the same PageRank job
+at local[{er['cpus']}] on synthetic graphs 4x apart, each level's
+shuffle-partition count sized from its own data (constant per-task
+partition size — how a production job re-sizes as the corpus grows).
+Per-edge iteration cost should stay flat; a ratio well below 1 means
+some stage scales super-linearly in data and would sink at 100 TB.
+Protocol identical to the other scaling modes (fresh JVMs, steady-state
+medians over alternating steal-gated trials).
+
+| docs | edges | shuffle parts | median steady iter (ms) | steady e/s/iter |
+|---|---|---|---|---|
+{rows}
+
+{effs}
+{steal}
+- generated by `python bench.py --scaling-data`
+"""
+
+
 def _write_baseline_md(report: dict, levels) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     lv = report["levels"]
@@ -918,7 +1075,7 @@ are published below.
   10^12-document target, so the remaining exchange volume is the
   algorithm's message traffic, not encoding overhead.
 - generated by `python bench.py --scaling`
-{_exec_section()}
+{_exec_section()}{_data_section()}
 ## Reading round-over-round suite walls
 
 `bench_last_full.json` is the latest headline-suite record
@@ -961,6 +1118,10 @@ def main() -> None:
         help="N-vs-4N EXECUTOR scaling via local-cluster[E,C,M] (separate JVMs)",
     )
     ap.add_argument(
+        "--scaling-data", action="store_true",
+        help="weak scaling: same parallelism, 4x the graph (DATA_LEVELS docs)",
+    )
+    ap.add_argument(
         "--master", default=None,
         help="explicit Spark master URL (e.g. local-cluster[4,4,3584]); "
         "--cpus then only sizes parallelism confs",
@@ -980,6 +1141,8 @@ def main() -> None:
         report = run_scaling(args.sf_dir)
     elif args.scaling_executors:
         report = run_scaling_executors(args.sf_dir)
+    elif args.scaling_data:
+        report = run_scaling_data(args.sf_dir)
     else:
         report = run_bench(
             args.sf_dir, args.cpus, args.only, args.n_docs, args.pr_iters,
@@ -995,7 +1158,7 @@ def main() -> None:
         # scaling modes get their own default file so an ad-hoc scaling run
         # never clobbers the headline-suite record the driver reads
         name = "bench_last_full.json"
-        if args.scaling or args.scaling_executors:
+        if args.scaling or args.scaling_executors or args.scaling_data:
             name = "scaling_last_full.json"
         full_path = os.path.join(REPO, "BENCH", name)
     with open(full_path, "w") as f:

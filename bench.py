@@ -1090,16 +1090,22 @@ environment, not code. Queries whose wall exceeds 20 s publish
 median-of-3 steal-gated trials in the headline record (VERDICT r03
 #10).
 
-## Corpus-dedup scale probe (round 3, BENCH/dedup_scale_r3.json)
+## Corpus-dedup scale probe (BENCH/dedup_scale_r4.json, tools/dedup_scale_probe.py)
 
-The corpus operators at 1M synthetic docs (200x the sf0.1 parquet),
-local[32], single trial: `near_dup_clusters` (MinHash 16 -> LSH star
-edges -> star-contraction CC) 1M docs in **34.1 s** (29.3k docs/s);
-`remove_duplicated_lines` (corpus-wide boilerplate-line removal, two
-planted lines per doc) 1M docs in **4.9 s** (205k docs/s). Both paths
-are groupBy-with-combine + equi-join shapes — no window over a
-skewable key, no all-pairs stage — so the per-doc cost is flat in
-corpus size until the shuffle fabric saturates; the steal-gated sf0.1
+The corpus operators at 1M AND 4M synthetic docs (200x / 800x the sf0.1
+parquet), local[32], single steal-recorded trial per level:
+`near_dup_clusters` (MinHash 16 -> LSH star edges -> star-contraction
+CC) 1M docs in 54.0 s, **4M docs in 125.6 s (31.9k docs/s — per-doc
+throughput 1.72x HIGHER at 4x the corpus)**; `remove_duplicated_lines`
+(corpus-wide boilerplate-line removal) 1M in 5.3 s, 4M in 9.3 s (2.28x
+higher per-doc at 4x). Both paths are groupBy-with-combine + equi-join
+shapes — no window over a skewable key, no all-pairs stage — and the
+measured curve shows per-doc cost FALLING as the corpus grows (fixed
+overhead amortizes), the same shape as the engine's data weak-scaling.
+The r4 probe is harder than round 3's single 1M point
+(dedup_scale_r3.json, 34.1 s): it plants the boilerplate lines BEFORE
+MinHashing, so every doc shares shingles and LSH buckets densify —
+crawl-realistic; the linearity claim is within-probe. Steal-gated sf0.1
 walls for the same queries live in the headline bench
 (`dedup_clusters`, `line_dedup`).
 """

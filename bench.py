@@ -651,18 +651,27 @@ def run_scaling_executors(sf_dir: str, levels=None) -> dict:
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # headline (default cores/executor) -> EXEC_SCALING.json; other
-    # parametrizations get a _c{N} suffix so they never clobber it
+    # core parametrizations get a _c{N} suffix; non-default levels or
+    # graph size (smoke runs) get _custom and never touch BASELINE.md
+    official = _official_record(EXEC_LEVELS, levels, n_docs)
     fname = (
         "EXEC_SCALING.json"
         if cores_per == EXEC_CORES
         else f"EXEC_SCALING_c{cores_per}.json"
     )
+    if not official:
+        fname = fname.replace(".json", "_custom.json")
     with open(os.path.join(REPO, "BENCH", fname), "w") as f:
         json.dump(report, f, indent=1)
     # refresh BASELINE.md's executor section alongside the thread report
-    thread_report = _read_json(os.path.join(REPO, "BENCH", "THREAD_SCALING.json"))
-    if thread_report:
-        _write_baseline_md(thread_report, [int(c) for c in thread_report["levels"]])
+    if official:
+        thread_report = _read_json(
+            os.path.join(REPO, "BENCH", "THREAD_SCALING.json")
+        )
+        if thread_report:
+            _write_baseline_md(
+                thread_report, [int(c) for c in thread_report["levels"]]
+            )
     return report
 
 
@@ -760,11 +769,18 @@ def run_scaling_data(sf_dir: str, levels=None) -> dict:
         },
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "DATA_SCALING.json"), "w") as f:
+    official = tuple(levels) == DATA_LEVELS
+    fname = "DATA_SCALING.json" if official else "DATA_SCALING_custom.json"
+    with open(os.path.join(REPO, "BENCH", fname), "w") as f:
         json.dump(report, f, indent=1)
-    thread_report = _read_json(os.path.join(REPO, "BENCH", "THREAD_SCALING.json"))
-    if thread_report:
-        _write_baseline_md(thread_report, [int(c) for c in thread_report["levels"]])
+    if official:
+        thread_report = _read_json(
+            os.path.join(REPO, "BENCH", "THREAD_SCALING.json")
+        )
+        if thread_report:
+            _write_baseline_md(
+                thread_report, [int(c) for c in thread_report["levels"]]
+            )
     return report
 
 
@@ -774,6 +790,14 @@ def _read_json(path: str):
             return json.load(f)
     except (OSError, ValueError):
         return None
+
+
+def _official_record(default_levels, levels, n_docs) -> bool:
+    """True when a scaling run uses the headline parametrization (default
+    levels AND default graph size). Ad-hoc runs — smoke tests, env
+    overrides — get suffixed record files and never refresh BASELINE.md,
+    so a 30-second sanity run cannot clobber the published evidence."""
+    return tuple(levels) == tuple(default_levels) and n_docs == SCALING_DOCS
 
 
 def run_scaling(sf_dir: str, levels=None) -> dict:
@@ -868,9 +892,12 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
         "n_edges": n_edges,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "THREAD_SCALING.json"), "w") as f:
+    official = _official_record(SCALING_LEVELS, levels, n_docs)
+    fname = "THREAD_SCALING.json" if official else "THREAD_SCALING_custom.json"
+    with open(os.path.join(REPO, "BENCH", fname), "w") as f:
         json.dump(report, f, indent=1)
-    _write_baseline_md(report, levels)
+    if official:
+        _write_baseline_md(report, levels)
     return report
 
 

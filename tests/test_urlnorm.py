@@ -113,17 +113,65 @@ def test_real_testdata_pages(spark):
     assert twin == sorted(tuple(r) for r in rows)
 
 
+def _seeded_cases(n=400):
+    """400 seeded-random (i, base, href) cases spanning every href
+    classification branch; generation stays inside the engine's
+    documented bounds (dot-segment nesting <= 4, dots never inside
+    query strings). Shared by the stdlib-urljoin oracle test and the
+    staged-vs-composed equality test."""
+    import random
+
+    rng = random.Random(1234)
+    segs = ["a", "b1", "Seg", "x-y", "p_q"]
+
+    def rand_path(depth):
+        return "".join("/" + rng.choice(segs) for _ in range(depth))
+
+    cases = []
+    for i in range(n):
+        scheme = rng.choice(["http", "https", "HTTP", "hTtPs"])
+        host = rng.choice(["h.test", "WWW.Ex.test", "Sub.Ex.test"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        bpath = rand_path(rng.randint(0, 3)) + rng.choice(["", "/page.html"])
+        bq = rng.choice(["", "?b=1"])
+        base = f"{scheme}://{host}{port}{bpath}{bq}"
+        kind = rng.randrange(8)
+        if kind == 0:  # absolute, maybe with dots
+            href = (
+                rng.choice(["http", "https", "ftp"])
+                + "://Other.test"
+                + rand_path(rng.randint(0, 2))
+                + rng.choice(["", "/./x", "/d/../y"])
+            )
+        elif kind == 1:
+            href = "//Cdn.test" + rand_path(rng.randint(0, 2))
+        elif kind == 2:
+            href = rand_path(rng.randint(1, 3)) or "/z"
+        elif kind == 3:
+            ups = "../" * rng.randint(1, 3)
+            href = ups + rng.choice(segs) + rng.choice(["", ".html"])
+        elif kind == 4:
+            href = rng.choice(["./", ""]) + rng.choice(segs) + rng.choice(
+                ["", "/sub", "?q=2"]
+            )
+        elif kind == 5:
+            href = "?only=" + rng.choice(segs)
+        elif kind == 6:
+            href = rng.choice(["#frag", "", "  "])
+        else:
+            href = rng.choice(["mailto:a@b.c", "javascript:void(0)", "tel:+1"])
+        cases.append((i, base, href))
+    return cases
+
+
 def test_resolution_matches_stdlib_urljoin(spark):
     # 400 seeded-random (base, href) cases in ONE Spark job, compared
     # against urllib.parse.urljoin (the stdlib's RFC 3986 resolver) +
     # the same canonicalization applied in pure Python. Generation stays
     # inside the engine's documented bounds (dot-segment nesting <= 4,
     # dots never inside query strings).
-    import random
     import re
     from urllib.parse import urljoin, urlsplit
-
-    rng = random.Random(1234)
 
     def remove_dot_segments(path):
         out = []
@@ -160,45 +208,7 @@ def test_resolution_matches_stdlib_urljoin(spark):
         q = f"?{s.query}" if s.query else ""
         return f"{scheme}://{host}{path}{q}"
 
-    segs = ["a", "b1", "Seg", "x-y", "p_q"]
-
-    def rand_path(depth):
-        return "".join("/" + rng.choice(segs) for _ in range(depth))
-
-    cases = []
-    for i in range(400):
-        scheme = rng.choice(["http", "https", "HTTP", "hTtPs"])
-        host = rng.choice(["h.test", "WWW.Ex.test", "Sub.Ex.test"])
-        port = rng.choice(["", ":80", ":443", ":8080"])
-        bpath = rand_path(rng.randint(0, 3)) + rng.choice(["", "/page.html"])
-        bq = rng.choice(["", "?b=1"])
-        base = f"{scheme}://{host}{port}{bpath}{bq}"
-        kind = rng.randrange(8)
-        if kind == 0:  # absolute, maybe with dots
-            href = (
-                rng.choice(["http", "https", "ftp"])
-                + "://Other.test"
-                + rand_path(rng.randint(0, 2))
-                + rng.choice(["", "/./x", "/d/../y"])
-            )
-        elif kind == 1:
-            href = "//Cdn.test" + rand_path(rng.randint(0, 2))
-        elif kind == 2:
-            href = rand_path(rng.randint(1, 3)) or "/z"
-        elif kind == 3:
-            ups = "../" * rng.randint(1, 3)
-            href = ups + rng.choice(segs) + rng.choice(["", ".html"])
-        elif kind == 4:
-            href = rng.choice(["./", ""]) + rng.choice(segs) + rng.choice(
-                ["", "/sub", "?q=2"]
-            )
-        elif kind == 5:
-            href = "?only=" + rng.choice(segs)
-        elif kind == 6:
-            href = rng.choice(["#frag", "", "  "])
-        else:
-            href = rng.choice(["mailto:a@b.c", "javascript:void(0)", "tel:+1"])
-        cases.append((i, base, href))
+    cases = _seeded_cases()
 
     from fog_spark.functions.urlnorm import canonicalize_url, resolve_href
 
@@ -290,3 +300,54 @@ def test_page_links_codegen_compiles(spark):
         assert got == sorted(EXPECTED)
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_staged_page_links_equals_composed_helpers(spark):
+    # page_links computes dst_url via STAGED projections (the
+    # codegen-safe form); the exported Column helpers keep the composed
+    # single-expression form (used by sitemaps/crawl on plain columns).
+    # The two must stay semantically identical: run all 400 seeded cases
+    # through both and compare. Each case becomes a one-anchor page with
+    # the case index as anchor text so rows can be matched back.
+    from fog_spark.functions.urlnorm import canonicalize_url, resolve_href
+
+    cases = _seeded_cases()
+    pages = spark.createDataFrame(
+        [
+            (
+                str(i),
+                base,
+                f'<html><body><a href="{href}">{i}</a></body></html>'.encode(),
+            )
+            for i, base, href in cases
+        ],
+        "i string, url string, html binary",
+    )
+    staged = {
+        r["anchor"]: r["dst_url"]
+        for r in page_links(pages.select("url", "html")).collect()
+    }
+    composed = {
+        r["i"]: r["dst"]
+        for r in spark.createDataFrame(
+            [(str(i), b, h) for i, b, h in cases],
+            "i string, base string, href string",
+        )
+        .select(
+            "i",
+            canonicalize_url(
+                resolve_href(F.col("base"), F.col("href"))
+            ).alias("dst"),
+        )
+        .collect()
+    }
+    # dropped links (None from the composed form) must be absent from
+    # page_links output; kept links must agree exactly
+    for i, _base, _href in cases:
+        key = str(i)
+        if composed[key] is None:
+            assert key not in staged, (key, staged.get(key))
+        else:
+            assert staged.get(key) == composed[key], (
+                key, _base, _href, staged.get(key), composed[key],
+            )

@@ -542,7 +542,9 @@ def _collect_gated_trials(levels, one_trial, trials):
     max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_RETRIES", "2")) + 1
     walls: dict[int, list[int]] = {c: [] for c in levels}
     steals: dict[int, list[float]] = {c: [] for c in levels}
-    n_edges = None
+    # per-level edge counts: identical across levels for the thread /
+    # executor modes (same graph), distinct for the data mode
+    n_edges: dict[int, int] = {}
     for _ in range(trials):
         for lv in levels:
             best = None
@@ -553,7 +555,7 @@ def _collect_gated_trials(levels, one_trial, trials):
                     best = r
                 if r["steal_pct"] <= steal_thresh:
                     break
-            n_edges = best["n_edges"]
+            n_edges[lv] = best["n_edges"]
             walls[lv].extend(best["details"]["pagerank5"]["iter_walls_ms"][1:])
             steals[lv].append(best["steal_pct"])
     return walls, steals, n_edges
@@ -618,7 +620,8 @@ def run_scaling_executors(sf_dir: str, levels=None) -> dict:
         r["steal_pct"] = steal_pct_between(s0, read_steal())
         return r
 
-    walls, steals, n_edges = _collect_gated_trials(levels, one_trial, trials)
+    walls, steals, edges_by = _collect_gated_trials(levels, one_trial, trials)
+    n_edges = edges_by[levels[0]]  # same graph at every level
     eps = {e: n_edges / (_median(walls[e]) / 1000.0) for e in levels}
     pairs = {
         f"{lo}->{hi}": round((eps[hi] / eps[lo]) / (hi / lo), 3)
@@ -723,24 +726,7 @@ def run_scaling_data(sf_dir: str, levels=None) -> dict:
         r["steal_pct"] = steal_pct_between(s0, read_steal())
         return r
 
-    steal_thresh = float(os.environ.get("SPARK_GRAFT_SCALING_STEAL_PCT", "2.0"))
-    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALING_RETRIES", "2")) + 1
-    walls: dict[int, list[int]] = {d: [] for d in levels}
-    steals: dict[int, list[float]] = {d: [] for d in levels}
-    n_edges: dict[int, int] = {}
-    for _ in range(trials):
-        for lv in levels:
-            best = None
-            for _attempt in range(max_attempts):
-                wait_quiet(steal_thresh, max_wait_s=600.0, probe_s=10.0)
-                r = one_trial(lv)
-                if best is None or r["steal_pct"] < best["steal_pct"]:
-                    best = r
-                if r["steal_pct"] <= steal_thresh:
-                    break
-            n_edges[lv] = best["n_edges"]
-            walls[lv].extend(best["details"]["pagerank5"]["iter_walls_ms"][1:])
-            steals[lv].append(best["steal_pct"])
+    walls, steals, n_edges = _collect_gated_trials(levels, one_trial, trials)
     eps = {d: n_edges[d] / (_median(walls[d]) / 1000.0) for d in levels}
     pairs = {
         f"{lo}->{hi}": round(eps[hi] / eps[lo], 3)
@@ -859,7 +845,8 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
         r["steal_pct"] = steal_pct_between(s0, read_steal())
         return r
 
-    walls, steals, n_edges = _collect_gated_trials(levels, one_trial, trials)
+    walls, steals, edges_by = _collect_gated_trials(levels, one_trial, trials)
+    n_edges = edges_by[levels[0]]  # same graph at every level
 
     eps = {c: n_edges / (_median(walls[c]) / 1000.0) for c in levels}
     # pairwise efficiency for every consecutive pair (each is the

@@ -126,12 +126,18 @@ def spam_mass_milli(
             f"{list(trust_seeds)!r} accumulated TrustRank (absent or "
             f"isolated seed ids?); refusing the vacuous all-spam verdict"
         )
+    # the scalars are already on the driver — inject them as literals
+    # rather than crossJoin(broadcast(sums)): the sums subtree embedded
+    # in the output plan would otherwise RE-RUN the pr-join-tr aggregate
+    # on the next action (Spark does not dedupe it against the collect
+    # above), doubling the vertex-sized join+agg work
+    s_pr, s_tr = int(srow["s_pr"]), int(srow["s_tr"])
     out = (
-        joined.crossJoin(F.broadcast(sums))
+        joined
         .select(
             "id",
             "pr_milli",
-            F.expr("(tr_raw * s_pr) div s_tr")
+            F.expr(f"(tr_raw * {s_pr}) div {s_tr}")
             .cast("long")
             .alias("trust_milli"),
         )

@@ -154,7 +154,24 @@ def frontier_plan(
 
     Scale shape: the pieces' own shapes compose — crawl-sized frames
     only ever equi-join or anti-join; robots rules and the flagged trap
-    templates are broadcast dims; no new shuffle beyond the pieces'."""
+    templates are broadcast dims; no new shuffle beyond the pieces'.
+    The composed DAG references the link plan at up to four places
+    (union + seeds anti-join + trap aggregation + final anti-join), and
+    Spark does not dedupe common DataFrame subtrees — so the plan is
+    eagerly checkpointed at each reuse point (Materializer, the
+    crawl_frontier host_rank idiom) instead of re-running the HTML link
+    extraction, crawled anti-join, and robots groupBy per reference;
+    earlier checkpoints are freed once a later one supersedes them."""
+    from fog_spark.plans.materialize import Materializer
+
+    M: Materializer | None = None
+
+    def _ck(df: DataFrame) -> DataFrame:
+        nonlocal M
+        if M is None:
+            M = Materializer(pages.sparkSession)
+        return M.checkpoint(df)
+
     fr = crawl_frontier(
         pages, niters=niters, per_host_cap=per_host_cap,
         resolve=resolve, robots_rules=robots_rules,
@@ -166,13 +183,14 @@ def frontier_plan(
     if sitemaps is not None:
         from fog_spark.operators.sitemaps import sitemap_frontier_seeds
 
-        if resolve:
-            from fog_spark.functions.urlnorm import canonicalize_url
-
-            crawled = pages.select(canonicalize_url(F.col("url")).alias("url"))
-        else:
-            crawled = pages.select("url")
-        seeds = sitemap_frontier_seeds(sitemaps, crawled).select("url", "host")
+        plan = _ck(plan)  # referenced by the seeds anti-join AND the union
+        link_ck = plan
+        # raw spellings suffice: sitemap_frontier_seeds canonicalizes
+        # BOTH its sides itself (sitemaps.py), so pre-canonicalizing here
+        # would just run the regex pass over the crawl twice
+        seeds = sitemap_frontier_seeds(
+            sitemaps, pages.select("url")
+        ).select("url", "host")
         if robots_rules is not None:
             from fog_spark.operators.robots import frontier_allowed
 
@@ -189,6 +207,9 @@ def frontier_plan(
         )
         plan = plan.unionByName(seeds)
     if trap_min_urls is not None:
+        plan = _ck(plan)  # referenced by the trap agg AND the final anti-join
+        if sitemaps is not None and M is not None:
+            M.free(link_ck)  # superseded: the new checkpoint embeds its rows
         traps = trap_candidates(plan, url_col="url", min_urls=trap_min_urls)
         plan = (
             plan.withColumn("_tpl", url_template(F.col("url")))

@@ -178,6 +178,18 @@ def _capped_bucket_pairs(
     replaces (same trade similarity.embedding_near_dups makes)."""
     from pyspark.sql import Window
 
+    # chain_window=0 would be "cap and drop", but F.sequence(rk+1, rk)
+    # generates a DESCENDING [rk+1, rk] — each row would join to ITSELF
+    # at its own rank, emitting (i, i) pairs that violate id_a < id_b
+    # and could make a keep-one-of-each-pair consumer delete whole
+    # buckets. Chaining is also what keeps oversized buckets
+    # transitively connected, so a windowless cap has no valid use here.
+    if chain_window < 1:
+        raise ValueError(
+            f"chain_window must be >= 1 (got {chain_window}): oversized "
+            "buckets are connected via the id-ordered chain"
+        )
+
     sizes = stacked.groupBy(*keys).agg(F.count("*").alias("_bsz"))
     sized = stacked.join(sizes, keys)
 

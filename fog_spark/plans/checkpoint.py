@@ -214,11 +214,19 @@ CREATE TABLE IF NOT EXISTS {catalog}.fog.checkpoint_meta (
             for f in state.schema.fields if f.name != "id"
         )
         pred = self._slice_pred(run_id, algorithm, iteration)
-        # idempotent re-write of a half-committed iteration
+        # idempotent re-write of a half-committed iteration. ORDER
+        # MATTERS: the meta row is the commit record, so it must be
+        # RETRACTED FIRST — deleting the state slice while an old meta
+        # row still existed meant a crash mid-rewrite left the iteration
+        # looking committed (latest_complete finds the meta row) while
+        # read_state returned an empty/partial frame, and resume would
+        # silently restart from wrong state. With meta deleted first, a
+        # crash anywhere before the final append leaves the iteration
+        # honestly uncommitted and resume falls back to the previous one.
+        self.spark.sql(f"DELETE FROM {self._meta_tbl} WHERE {pred}")
         self.spark.sql(f"DELETE FROM {self._state_tbl} WHERE {pred}")
         pack_state(state, run_id, algorithm, iteration).writeTo(self._state_tbl).append()
         # meta row LAST = the commit record (atomic snapshot)
-        self.spark.sql(f"DELETE FROM {self._meta_tbl} WHERE {pred}")
         self.spark.createDataFrame(
             [(run_id, algorithm, int(iteration), schema_ddl,
               json.dumps({"iteration": iteration, **meta}))],

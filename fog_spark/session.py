@@ -82,12 +82,16 @@ def get_spark(
         # local-cluster[E,C,M]: M is each worker's memory budget in MB;
         # the executor JVM it launches must fit inside it (Spark's
         # default 1g would under-use a bigger worker; a bigger default
-        # would fail to launch). Leave 512 MB headroom for the worker.
+        # would fail to launch). Leave 512 MB headroom for the worker,
+        # but NEVER request more than the worker's whole budget: an
+        # executor.memory > M never launches and the job hangs forever
+        # at "Initial job has not accepted any resources" (the old
+        # max(1024, M-512) did exactly that for M < 1024, and for
+        # M == 1024 it silently consumed the entire budget).
         try:
             worker_mb = int(master.rstrip("]").split(",")[2])
-            builder = builder.config(
-                "spark.executor.memory", f"{max(1024, worker_mb - 512)}m"
-            )
+            exec_mb = min(worker_mb, max(1024, worker_mb - 512))
+            builder = builder.config("spark.executor.memory", f"{exec_mb}m")
         except (IndexError, ValueError):
             pass
     # $SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — experiment/override hook for

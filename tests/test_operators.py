@@ -401,6 +401,19 @@ def test_minhash_candidates_bucket_cap_10k_identical(spark):
     assert all(a < b for a, b in got)
 
 
+def test_capped_pairs_reject_windowless_chain(spark):
+    # chain_window=0 ("cap, no chaining") must be rejected: F.sequence
+    # (rk+1, rk) generates a DESCENDING [rk+1, rk], so each row would
+    # join to ITSELF and emit (i, i) pairs violating id_a < id_b — a
+    # keep-one-of-each-pair consumer could then delete whole buckets.
+    d = spark.range(10).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.lit("same text").alias("text"),
+    )
+    with pytest.raises(ValueError, match="chain_window"):
+        minhash_lsh_candidates(d, bucket_cap=2, chain_window=0).collect()
+
+
 def test_minhash_candidates_cap_matches_allpairs_when_small(spark, docs):
     # buckets at or below the cap take the exact all-pairs branch: a tiny
     # cap that nothing exceeds must be a no-op vs an effectively-infinite

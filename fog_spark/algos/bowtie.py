@@ -53,11 +53,17 @@ def _reach_flag(engine: ScatterGatherEngine, edges: DataFrame, seeds: DataFrame,
     """(id, <name>:boolean) — true iff reachable from the seed set
     (seeds themselves included, level 0). The explicit vertex frame
     keeps self-loop-only vertices in every run's state, so the final
-    flag joins are lossless inner joins."""
+    flag joins are lossless inner joins.
+
+    The flag frame is eagerly checkpointed through the engine's own
+    materializer and the run's state cache freed HERE — returning the
+    lazy select left four vertex-sized engine states unreclaimable per
+    bowtie() call (the hostgraph.host_pagerank_milli discipline)."""
     res = engine.run(SetBFS(seeds, name=name), edges, vertices=vertices)
-    out = res.state.select(
-        "id", (F.col("level") < UNREACHED_LEVEL).alias(name)
+    out = engine.mat.checkpoint(
+        res.state.select("id", (F.col("level") < UNREACHED_LEVEL).alias(name))
     )
+    engine.mat.free(res.state)
     return out
 
 
@@ -70,7 +76,9 @@ def bowtie(edges: DataFrame, max_scc_rounds: int = 25) -> DataFrame:
     e = M.checkpoint(G.normalize_edges(edges).select("src", "dst"))
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
 
-    labels = M.checkpoint(scc(e, max_rounds=max_scc_rounds))
+    # scc() returns an already-checkpointed, tag-freeable frame —
+    # re-checkpointing it here would copy the blocks and leak the inner
+    labels = scc(e, max_rounds=max_scc_rounds)
     core_row = (
         labels.groupBy("scc")
         .count()
@@ -85,8 +93,8 @@ def bowtie(edges: DataFrame, max_scc_rounds: int = 25) -> DataFrame:
 
     verts = labels.select("id")
     engine = ScatterGatherEngine(spark, checkpoint_dir=None)
-    fwd = M.checkpoint(_reach_flag(engine, e, core, "f_core", verts))
-    bwd = M.checkpoint(_reach_flag(engine, rev, core, "b_core", verts))
+    fwd = _reach_flag(engine, e, core, "f_core", verts)
+    bwd = _reach_flag(engine, rev, core, "b_core", verts)
 
     in_set = (
         bwd.where("b_core")
@@ -98,8 +106,8 @@ def bowtie(edges: DataFrame, max_scc_rounds: int = 25) -> DataFrame:
         .join(core, "id", "left_anti")
         .select("id")
     )
-    fwd_in = M.checkpoint(_reach_flag(engine, e, in_set, "f_in", verts))
-    bwd_out = M.checkpoint(_reach_flag(engine, rev, out_set, "b_out", verts))
+    fwd_in = _reach_flag(engine, e, in_set, "f_in", verts)
+    bwd_out = _reach_flag(engine, rev, out_set, "b_out", verts)
 
     is_core = F.col("scc") == F.lit(core_label)
     region = (

@@ -126,6 +126,10 @@ def star_contraction_components(
         "id",
         "left",
     ).select("id", F.coalesce("component", "id").alias("component"))
-    out = labels.localCheckpoint(eager=True)
+    # through the materializer, NOT a bare localCheckpoint: unpersist is
+    # a no-op on checkpoint-backed frames (materialize.py), so the bare
+    # form leaked an unreclaimable deserialized vertex-sized cache per
+    # call; mat.checkpoint is serialized and free()-able by the caller
+    out = mat.checkpoint(labels)
     mat.free(cur)
     return out

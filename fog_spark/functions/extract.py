@@ -81,13 +81,25 @@ def fixture_page_ids(pages: DataFrame) -> DataFrame:
     )
 
 
-def assign_dense_ids(urls: DataFrame, col: str = "url", partitions: int | None = None) -> DataFrame:
+def assign_dense_ids(
+    urls: DataFrame,
+    col: str = "url",
+    partitions: int | None = None,
+    materializer=None,
+) -> DataFrame:
     """Dense 0..n-1 vertex ids for arbitrary url sets, scalably.
 
     The analog of FOG's dense u32 vid space (/root/reference/convert/
     convert.cpp:30-34). No global window: range-partition by url, rank
     locally, then add per-partition offsets (a driver-side prefix sum over
     P counts — P rows, not data).
+
+    ``materializer``: when given, the returned dictionary is eagerly
+    checkpointed through it (reclaimable via its ``free``) and the
+    internal distinct-key cache is dropped immediately; when omitted the
+    lazy result keeps that cache alive until the session ends — fine for
+    one-shot runs, a per-call leak for repeated library calls (same
+    contract as host_graph's).
     """
     spark = urls.sparkSession
     if partitions is None:
@@ -114,6 +126,9 @@ def assign_dense_ids(urls: DataFrame, col: str = "url", partitions: int | None =
         .join(F.broadcast(off_df), F.col("_pid") == F.col("pid"))
         .select(F.col(col), (F.col("_offset") + F.col("_rank")).alias("id"))
     )
+    if materializer is not None:
+        out = materializer.checkpoint(out)
+        d.unpersist()
     return out
 
 

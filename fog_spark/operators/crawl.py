@@ -93,6 +93,7 @@ def crawl_frontier(
     )
     eng.mat.free(res.state)
     M.free(edges)
+    M.free(dim)
     if robots_rules is not None:
         from fog_spark.operators.robots import frontier_allowed
 

@@ -120,12 +120,24 @@ def _md5_banded(
     replay it exactly). Signatures per-row via array_min/transform: zero
     shuffles before the band stage."""
     rpb = num_hashes // bands
-    sh = F.array_distinct(shingle_col(F.col(text_col), shingle_n))
+    # stage the shingle array as a materialized column FIRST: inlining
+    # the expression into each of the num_hashes min-hash columns plus
+    # the size filter re-evaluates the whole tokenize + n-gram +
+    # array_distinct pipeline ~(num_hashes+1)x per row (the interpreted
+    # lambda re-evaluation trap winnow.py documents); as a multi-
+    # referenced non-cheap alias it stays a separate projection
+    # (SPARK-36718), evaluated once
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_col(F.col(text_col), shingle_n)).alias("_sh"),
+    ).where(F.size(F.col("_sh")) > 0)
     mh = [
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i} "), s)))).alias(f"mh_{i}")
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{i} "), s)))
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    sig = docs.where(F.size(sh) > 0).select(F.col(id_col).alias("id"), *mh)
+    sig = shingled.select("id", *mh)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rpb + r}") for r in range(rpb)])).alias(f"band_{b}")
         for b in range(bands)

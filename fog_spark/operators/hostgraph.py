@@ -92,7 +92,7 @@ def host_graph(
         .union(counts.select(F.col("dst_host").alias("host")))
         .distinct()
     )
-    dim = assign_dense_ids(hosts, col="host")
+    dim = assign_dense_ids(hosts, col="host", materializer=materializer)
     edges = (
         counts.join(
             F.broadcast(dim.select(F.col("host").alias("src_host"), F.col("id").alias("src"))),
@@ -133,6 +133,7 @@ def host_pagerank_milli(
     )
     eng.mat.free(res.state)
     M.free(edges)
+    M.free(dim)
     return out
 
 
@@ -177,4 +178,5 @@ def host_spam_mass(
     )
     M.free(sm)
     M.free(edges)
+    M.free(dim)
     return out

@@ -29,6 +29,18 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
+def _cosine(a: Column, b: Column) -> Column:
+    """Cosine with a zero-norm guard: an all-zero vector (empty
+    document, padding row) has undefined cosine — score it 0.0 (never
+    similar) instead of letting Spark 4's default ANSI mode throw
+    DIVIDE_BY_ZERO and kill the whole job on one degenerate row
+    (_unit already guards the identical case)."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        _dot(a, b) / (na * nb)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame, probes: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -45,7 +57,7 @@ def cosine_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            (_dot(F.col("cv"), F.col("pv")) / (_norm(F.col("cv")) * _norm(F.col("pv")))).alias("cosine"),
+            _cosine(F.col("cv"), F.col("pv")).alias("cosine"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -182,7 +194,7 @@ def ivf_ann_topk(
     sim = cand.select(
         "probe_id",
         "neighbor_id",
-        (_dot(F.col("cv"), F.col("pv")) / (_norm(F.col("cv")) * _norm(F.col("pv")))).alias("cosine"),
+        _cosine(F.col("cv"), F.col("pv")).alias("cosine"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -209,7 +221,9 @@ def embedding_near_dups_exact(
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
         "id_a",
         "id_b",
-        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        F.when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0))
+        .otherwise(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)
 
@@ -258,43 +272,19 @@ def embedding_near_dups(
             ])
         ).alias("bk"),
     ).select("id", "v", "bk.t", "bk.b")
-    sizes = sigs.groupBy("t", "b").agg(F.count("*").alias("_bsz"))
-    sized = sigs.join(sizes, ["t", "b"])
+    # the cap + id-ordered-chain candidate shape is shared with the
+    # MinHash/SimHash pair-listing ops — one implementation, one place
+    # to fix (it also carries the chain_window >= 1 guard)
+    from fog_spark.operators.dedup import _capped_bucket_pairs
 
-    small = sized.where(F.col("_bsz") <= bucket_cap)
-    a = small.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "t", "b")
-    b = small.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "b")
-    cand_small = a.join(b, ["t", "b"]).where(F.col("id_a") < F.col("id_b"))
-
-    from pyspark.sql import Window
-
-    big = sized.where(F.col("_bsz") > bucket_cap)
-    w = Window.partitionBy("t", "b").orderBy("id")
-    bigr = big.select("t", "b", "id", "v", F.row_number().over(w).alias("_rk"))
-    probes = bigr.select(
-        F.col("id").alias("id_a"),
-        F.col("v").alias("va"),
-        "t",
-        "b",
-        F.explode(
-            F.sequence(F.col("_rk") + 1, F.col("_rk") + chain_window)
-        ).alias("_rk"),
-    )
-    targets = bigr.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "b", "_rk"
-    )
-    # rank order == id order within the bucket, so id_a < id_b holds
-    cand_big = probes.join(targets, ["t", "b", "_rk"])
-
-    cand = (
-        cand_small.select("id_a", "id_b", "va", "vb")
-        .unionByName(cand_big.select("id_a", "id_b", "va", "vb"))
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _capped_bucket_pairs(
+        sigs.select("id", "v", "t", "b"), ["t", "b"], ["v"],
+        bucket_cap, chain_window,
     )
     pairs = cand.select(
         "id_a",
         "id_b",
-        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+        _cosine(F.col("v_a"), F.col("v_b")).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)
 
@@ -365,7 +355,7 @@ def lsh_ann_topk(
     sim = cand.select(
         "probe_id",
         "neighbor_id",
-        (_dot(F.col("cv"), F.col("pv")) / (_norm(F.col("cv")) * _norm(F.col("pv")))).alias("cosine"),
+        _cosine(F.col("cv"), F.col("pv")).alias("cosine"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

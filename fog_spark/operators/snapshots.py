@@ -61,6 +61,22 @@ def page_change_stats(pages: DataFrame) -> DataFrame:
     )
 
 
+def _tagged_edge_union(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
+    """(src, dst, _mn, _mx) — both distinct edge sets tagged (old=1,
+    new=2), unioned, one hash aggregate keyed by (src, dst): the shared
+    single-shuffle core of edge_delta and edge_delta_stats (_mn == _mx
+    means the edge exists on only one side)."""
+    tag0 = edges_old.select("src", "dst").distinct().select(
+        "src", "dst", F.lit(1).alias("_t")
+    )
+    tag1 = edges_new.select("src", "dst").distinct().select(
+        "src", "dst", F.lit(2).alias("_t")
+    )
+    return tag0.unionByName(tag1).groupBy("src", "dst").agg(
+        F.min("_t").alias("_mn"), F.max("_t").alias("_mx")
+    )
+
+
 def edge_delta(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
     """Crawl-to-crawl link diff: ``(src, dst, change)`` with change in
     {'added', 'removed'} over the DISTINCT edge sets of two captures of
@@ -80,15 +96,7 @@ def edge_delta(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
     result materializes. No anti-join pair (two shuffles), no driver
     collect.
     """
-    tag0 = edges_old.select("src", "dst").distinct().select(
-        "src", "dst", F.lit(1).alias("_t")
-    )
-    tag1 = edges_new.select("src", "dst").distinct().select(
-        "src", "dst", F.lit(2).alias("_t")
-    )
-    both = tag0.unionByName(tag1).groupBy("src", "dst").agg(
-        F.min("_t").alias("_mn"), F.max("_t").alias("_mx")
-    )
+    both = _tagged_edge_union(edges_old, edges_new)
     return both.where(F.col("_mn") == F.col("_mx")).select(
         "src",
         "dst",
@@ -104,15 +112,7 @@ def edge_delta_stats(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
     ``churn = (n_added + n_removed) / greatest(n_old_distinct, 1)`` —
     the refresh-scheduling signal (skip the PageRank refresh below a
     churn threshold). Same single-shuffle plan as edge_delta, summed."""
-    tag0 = edges_old.select("src", "dst").distinct().select(
-        "src", "dst", F.lit(1).alias("_t")
-    )
-    tag1 = edges_new.select("src", "dst").distinct().select(
-        "src", "dst", F.lit(2).alias("_t")
-    )
-    both = tag0.unionByName(tag1).groupBy("src", "dst").agg(
-        F.min("_t").alias("_mn"), F.max("_t").alias("_mx")
-    )
+    both = _tagged_edge_union(edges_old, edges_new)
     return both.agg(
         F.sum(F.when((F.col("_mn") == 2) & (F.col("_mx") == 2), 1).otherwise(0))
         .cast("long")

@@ -95,6 +95,15 @@ class CheckpointStore:
     def read_state(self, run_id: str, algorithm: str, iteration: int) -> DataFrame:
         return self.spark.read.parquet(self._iter_dir(run_id, algorithm, iteration))
 
+    def write_meta(
+        self, run_id: str, algorithm: str, iteration: int, meta: dict[str, Any]
+    ) -> None:
+        """Overwrite an already-committed iteration's metadata (the
+        engine finalizes history/converged after write_state)."""
+        d = self._iter_dir(run_id, algorithm, iteration)
+        with open(os.path.join(d, "_meta.json"), "w") as f:
+            json.dump({"iteration": iteration, **meta}, f)
+
     def read_meta(self, run_id: str, algorithm: str, iteration: int) -> dict[str, Any]:
         with open(os.path.join(self._iter_dir(run_id, algorithm, iteration), "_meta.json")) as f:
             return json.load(f)
@@ -252,6 +261,24 @@ CREATE TABLE IF NOT EXISTS {catalog}.fog.checkpoint_meta (
             self._slice_pred(run_id, algorithm, iteration)
         )
         return unpack_state(packed, row["schema_ddl"])
+
+    def write_meta(
+        self, run_id: str, algorithm: str, iteration: int, meta: dict[str, Any]
+    ) -> None:
+        """Replace an already-committed iteration's meta row, preserving
+        its schema_ddl (the engine finalizes history/converged after
+        write_state). Delete+append leaves a brief uncommitted window;
+        a crash inside it makes resume fall back one iteration —
+        conservative, never wrong-state."""
+        row = self._meta_row(run_id, algorithm, iteration)  # raises if uncommitted
+        pred = self._slice_pred(run_id, algorithm, iteration)
+        self.spark.sql(f"DELETE FROM {self._meta_tbl} WHERE {pred}")
+        self.spark.createDataFrame(
+            [(run_id, algorithm, int(iteration), row["schema_ddl"],
+              json.dumps({"iteration": iteration, **meta}))],
+            "run_id string, algorithm string, iteration int, "
+            "schema_ddl string, meta_json string",
+        ).writeTo(self._meta_tbl).append()
 
     def read_meta(self, run_id: str, algorithm: str, iteration: int) -> dict[str, Any]:
         return json.loads(self._meta_row(run_id, algorithm, iteration)["meta_json"])

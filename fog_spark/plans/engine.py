@@ -465,11 +465,12 @@ class ScatterGatherEngine:
     # --------------------------------------------------------- helpers
 
     def _write_meta(self, algo, run_id, it, history, converged: bool) -> None:
-        import json, os
-
-        d = self.store._iter_dir(run_id, algo.name, it)
-        with open(os.path.join(d, "_meta.json"), "w") as f:
-            json.dump({"iteration": it, "converged": converged, "history": history}, f)
+        # store-agnostic: parquet overwrites _meta.json, Iceberg replaces
+        # the meta row (reaching into the parquet store's _iter_dir here
+        # crashed every iceberg:// run with AttributeError)
+        self.store.write_meta(
+            run_id, algo.name, it, {"converged": converged, "history": history}
+        )
 
     def _stats(self, state: DataFrame, algo: Algorithm | None = None) -> dict[str, Any]:
         aggs = [F.count("*").alias("n"), F.sum(F.col("_active").cast("long")).alias("na")]

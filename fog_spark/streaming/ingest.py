@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fog_spark.functions.extract import extract_outlinks_col, fixture_page_ids
+from fog_spark.functions.extract import extract_outlinks_col
 from fog_spark.hashing import pmod
 
 

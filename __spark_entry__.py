@@ -1102,11 +1102,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return e.unionByName(a)
 
     def graph_stats(spark, sf):
+        # .desc stats + the round-4 census columns (reciprocity + the
+        # integer assortativity sums) in the same 1-row slot — gate-cap
+        # merging; each census column hash-fails independently.
         s = G.graph_stats(_edges(spark, sf))
-        return spark.createDataFrame(
+        base = spark.createDataFrame(
             [(s["min_vertex_id"], s["max_vertex_id"], s["num_edges"], s["max_out_edges"])],
             "min_vertex_id long, max_vertex_id long, num_edges long, max_out_edges long",
         )
+        return base.crossJoin(F.broadcast(G.census_stats(_edges(spark, sf))))
 
     def adjacency_csr(spark, sf):
         adj = G.build_adjacency(_edges(spark, sf), hub_cap=None)
@@ -1963,11 +1967,27 @@ JOIN pt ON pt.doc_id = r.doc_id"""
             f"UNION ALL SELECT 'adj' AS fmt, src, dst FROM ({EDGES})"
         ),
         "graph_stats": f"""
-WITH e AS ({EDGES}), d AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src)
+WITH e AS ({EDGES}), d AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src),
+ed AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+od AS (SELECT src, COUNT(*) AS c FROM ed GROUP BY src),
+ig AS (SELECT dst, COUNT(*) AS c FROM ed GROUP BY dst),
+px AS (SELECT od.c AS x, ig.c AS y FROM ed
+       JOIN od ON ed.src = od.src JOIN ig ON ed.dst = ig.dst),
+s AS (SELECT COUNT(*) AS n, SUM(x) AS sxo, SUM(y) AS syi, SUM(x*y) AS sxy,
+             SUM(x*x) AS sx2, SUM(y*y) AS sy2 FROM px),
+r AS (SELECT COUNT(*) AS nr FROM ed a JOIN ed b ON a.src = b.dst AND a.dst = b.src)
 SELECT (SELECT MIN(LEAST(src, dst)) FROM e) AS min_vertex_id,
        (SELECT MAX(GREATEST(src, dst)) FROM e) AS max_vertex_id,
        (SELECT COUNT(*) FROM e) AS num_edges,
-       (SELECT CAST(MAX(c) AS BIGINT) FROM d) AS max_out_edges""",
+       (SELECT CAST(MAX(c) AS BIGINT) FROM d) AS max_out_edges,
+       CAST(s.n AS BIGINT) AS n_directed,
+       CAST(r.nr AS BIGINT) AS n_reciprocal,
+       -- // floors, Spark div truncates: identical for the nonnegative counts here
+       CAST((1000 * r.nr) // s.n AS BIGINT) AS reciprocity_permille,
+       CAST(s.sxo AS BIGINT) AS sxo, CAST(s.syi AS BIGINT) AS syi,
+       CAST(s.sxy AS BIGINT) AS sxy, CAST(s.sx2 AS BIGINT) AS sx2,
+       CAST(s.sy2 AS BIGINT) AS sy2
+FROM s, r""",
         "adjacency_csr": f"""
 WITH e AS ({EDGES})
 SELECT src, COUNT(*) AS outdeg,

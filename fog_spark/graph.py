@@ -154,6 +154,74 @@ def graph_stats(edges: DataFrame) -> dict:
     }
 
 
+def census_stats(edges: DataFrame) -> DataFrame:
+    """One-row directed-graph census: reciprocity + degree-assortativity
+    sums — the link-structure summary a web-graph report leads with
+    (Broder et al. WWW 2000 report reciprocity; Newman 2002 defines the
+    assortativity coefficient). Extends the .desc stats surface
+    (/root/reference/convert/convert.cpp:139-148) with the two numbers
+    the reference's ``.desc`` cannot express.
+
+    Everything is integer-exact so cross-engine checks are bit-stable:
+
+    - ``n_directed``: distinct self-loop-free directed edges (the edge
+      set both metrics are defined over; multi-edges collapse so the
+      metric is a property of the link structure, not the capture count).
+    - ``n_reciprocal``: edges (u,v) whose reverse (v,u) also exists;
+      ``reciprocity_permille = 1000*n_reciprocal div n_directed``.
+    - ``sxo/syi/sxy/sx2/sy2``: Pearson sums over edges of
+      x = outdeg(src), y = indeg(dst) (degrees measured on the same
+      distinct loop-free set) — the out-in directed assortativity whose
+      coefficient is (n*sxy - sxo*syi) / sqrt((n*sx2 - sxo^2) *
+      (n*sy2 - syi^2)); callers take the one float sqrt at the end
+      (tests pin it against a pure-Python Pearson). BIGINT sums hold to
+      ~1e12 edges x 1e3 max-degree-squared; past that, cast the terms to
+      DECIMAL(38,0) before summing.
+
+    Plan shape: one distinct shuffle, one self-semi-join on (src,dst)
+    for reciprocity (sort-merge, both sides the edge table), two
+    vertex-sized degree aggs joined back (broadcast when small, AQE
+    decides), one final scalar agg; the two 1-row frames fold via a
+    broadcast cross join. No step is degree-quadratic, so a 10^8-degree
+    hub costs only its own edge rows.
+    """
+    e = (
+        normalize_edges(edges)
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count("*").alias("n_reciprocal"))
+    )
+    od = out_degrees(e).withColumnRenamed("id", "src").withColumnRenamed("outdeg", "_x")
+    idg = in_degrees(e).withColumnRenamed("id", "dst").withColumnRenamed("indeg", "_y")
+    sums = (
+        e.join(od, "src")
+        .join(idg, "dst")
+        .agg(
+            F.count("*").alias("n_directed"),
+            F.sum("_x").alias("sxo"),
+            F.sum("_y").alias("syi"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("sx2"),
+            F.sum(F.col("_y") * F.col("_y")).alias("sy2"),
+        )
+    )
+    return sums.crossJoin(F.broadcast(recip)).select(
+        "n_directed",
+        "n_reciprocal",
+        F.expr("(1000 * n_reciprocal) div n_directed").alias("reciprocity_permille"),
+        "sxo",
+        "syi",
+        "sxy",
+        "sx2",
+        "sy2",
+    )
+
+
 def write_edges_sorted(edges: DataFrame, path: str, partitions: int | None = None) -> None:
     """Persist the edge table src-sorted + range-partitioned — the physical
     layout FOG's converter produces (src-sorted .edge file,

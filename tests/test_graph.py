@@ -88,3 +88,66 @@ def test_in_adjacency(spark):
     adj_in = {r["dst"]: sorted(r["srcs"]) for r in G.build_in_adjacency(e).collect()}
     assert adj_in[0] == [1, 2]
     assert adj_in[4] == [3, 5]
+
+
+def _census_oracle(pairs):
+    """Pure-Python replay of graph.census_stats' definitions."""
+    import math
+
+    e = {(s, d) for s, d in pairs if s != d}
+    n = len(e)
+    nr = sum(1 for s, d in e if (d, s) in e)
+    od, idg = {}, {}
+    for s, d in e:
+        od[s] = od.get(s, 0) + 1
+        idg[d] = idg.get(d, 0) + 1
+    xs = [od[s] for s, d in e]
+    ys = [idg[d] for s, d in e]
+    sums = {
+        "n_directed": n,
+        "n_reciprocal": nr,
+        "reciprocity_permille": (1000 * nr) // n if n else 0,
+        "sxo": sum(xs),
+        "syi": sum(ys),
+        "sxy": sum(x * y for x, y in zip(xs, ys)),
+        "sx2": sum(x * x for x in xs),
+        "sy2": sum(y * y for y in ys),
+    }
+    dx = n * sums["sx2"] - sums["sxo"] ** 2
+    dy = n * sums["sy2"] - sums["syi"] ** 2
+    num = n * sums["sxy"] - sums["sxo"] * sums["syi"]
+    r = num / math.sqrt(dx * dy) if dx > 0 and dy > 0 else None
+    return sums, r
+
+
+def test_census_stats_fixtures(spark):
+    """Reciprocity + assortativity sums vs a pure-Python oracle on every
+    fixture graph plus a seeded random multigraph (dup edges + self-loops
+    exercise the distinct/loop-free contract)."""
+    import math
+
+    from tests.graphs import ALL_GRAPHS
+
+    cases = {name: pairs for name, (pairs, _n) in ALL_GRAPHS.items()}
+    cases["random_multi"] = [
+        ((i * 37 + j) % 23, (i * 11 + 5 * j) % 23) for i in range(300) for j in (0, 1)
+    ]
+    for name, pairs in cases.items():
+        want, r_want = _census_oracle(pairs)
+        row = G.census_stats(make_edges_df(spark, pairs)).collect()[0].asDict()
+        assert row == want, name
+        # the one float derived from the integer sums matches plain Pearson
+        dx = row["n_directed"] * row["sx2"] - row["sxo"] ** 2
+        dy = row["n_directed"] * row["sy2"] - row["syi"] ** 2
+        if r_want is not None:
+            r_got = (row["n_directed"] * row["sxy"] - row["sxo"] * row["syi"]) / math.sqrt(dx * dy)
+            assert abs(r_got - r_want) < 1e-12, name
+
+
+def test_census_reciprocity_values(spark):
+    # TWO_TRIANGLES is fully reciprocal; STAR_HUB's only reciprocated
+    # pair is 0<->9 (2 of its 10 edges)
+    full = G.census_stats(make_edges_df(spark, TWO_TRIANGLES)).collect()[0]
+    assert full["reciprocity_permille"] == 1000
+    star = G.census_stats(make_edges_df(spark, STAR_HUB)).collect()[0]
+    assert star["n_reciprocal"] == 2 and star["reciprocity_permille"] == 200

@@ -443,6 +443,37 @@ def _anchor_reach_sql(n_anchors: int, rounds: int) -> str:
     )
 
 
+def _redirect_sql(max_hops: int) -> str:
+    """Sequential bounded redirect-chain replay — mirrors
+    fog_spark.operators.redirects.resolve_redirects over the string-id
+    map (min VARCHAR target per source, self-redirects dropped): step
+    once per CTE up to max_hops total hops; done rows carry through.
+    Agreement with Spark's pointer doubling pins the doubling's
+    exact-hop contract (hops doubles only while live, so a power-of-two
+    cap makes both outcomes hop-exact)."""
+    ctes = [
+        f"e AS MATERIALIZED ({EDGES})",
+        "m AS MATERIALIZED (SELECT CAST(src AS VARCHAR) AS url, "
+        "MIN(CAST(dst AS VARCHAR)) AS target FROM e WHERE src <> dst GROUP BY 1)",
+        # tdone = the row's target has no outgoing redirect
+        "md AS MATERIALIZED (SELECT a.url, a.target, (b.url IS NULL) AS tdone "
+        "FROM m a LEFT JOIN m b ON b.url = a.target)",
+        "s1 AS (SELECT url, target, CAST(1 AS BIGINT) AS hops, tdone AS done FROM md)",
+    ]
+    for k in range(2, max_hops + 1):
+        ctes.append(
+            f"s{k} AS (SELECT s.url, "
+            "CASE WHEN s.done THEN s.target ELSE t.target END AS target, "
+            "CASE WHEN s.done THEN s.hops ELSE s.hops + 1 END AS hops, "
+            "CASE WHEN s.done THEN TRUE ELSE t.tdone END AS done "
+            f"FROM s{k - 1} s LEFT JOIN md t ON t.url = s.target)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT url, target AS final_url, hops, done AS resolved FROM s{max_hops}"
+    )
+
+
 def _walks_sql(walk_len: int) -> str:
     """Unrolled deterministic random-walk corpus — mirrors
     fog_spark.operators.walks.random_walks(hash_fn='md5') exactly: step
@@ -1295,21 +1326,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return anchor_reachability(_edges(spark, sf), n_anchors=16, rounds=8)
 
-    def random_walks4(spark, sf):
-        # md5 hash family (oracle-portable); xxhash64 is the production
-        # fast path, pinned equal-by-construction via pytest oracles
+    def walks_corpus4(spark, sf):
+        # gate-cap merging (round 4): both deterministic walk corpora
+        # share the (walk_id, step, vertex) shape, so DeepWalk-style
+        # first-order walks and node2vec second-order walks ride ONE
+        # tagged slot (freeing a slot for redirect_resolve). md5 hash
+        # family (oracle-portable); xxhash64 is the production fast
+        # path, pinned equal-by-construction via pytest oracles.
+        from fog_spark.operators.node2vec import node2vec_walks
         from fog_spark.operators.walks import random_walks
 
-        return random_walks(_edges(spark, sf), walk_len=4, hash_fn="md5")
-
-    def node2vec4(spark, sf):
-        # p=4, q=1/4 (outward-biased), 3 rejection trials; md5 family so
-        # the unrolled DuckDB oracle computes the identical corpus
-        from fog_spark.operators.node2vec import node2vec_walks
-
-        return node2vec_walks(
+        rw = random_walks(_edges(spark, sf), walk_len=4, hash_fn="md5")
+        # p=4, q=1/4 (outward-biased), 3 rejection trials
+        n2 = node2vec_walks(
             _edges(spark, sf), walk_len=4, p=4, q=0.25, trials=3, hash_fn="md5"
         )
+        return rw.select(F.lit("rw").alias("kind"), "*").unionByName(
+            n2.select(F.lit("n2v").alias("kind"), "*")
+        )
+
+    def redirect_resolve(spark, sf):
+        # bounded pointer-doubled redirect-chain resolution over a
+        # functional map derived from the edge table (min target string
+        # per source; string ids exercise the URL-typed path). The
+        # custkey/orderkey%151 graph yields real chains AND cycles, so
+        # both outcomes (resolved with exact hop count / capped at
+        # max_hops) are under the hash. Oracle replays the 16 hops
+        # sequentially — agreement pins the doubling's hop exactness.
+        from fog_spark.operators.redirects import resolve_redirects
+
+        m = _edges(spark, sf).select(
+            F.col("src").cast("string").alias("url"),
+            F.col("dst").cast("string").alias("target"),
+        )
+        return resolve_redirects(m, max_hops=16)
 
     def host_pagerank4(spark, sf):
         # the flagship composed pipeline at gate scale (north_star
@@ -1841,8 +1891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_edges_milli": msf_edges_milli,
         "ppr8_milli": ppr8_milli,
         "frontier_plan": frontier_plan_q,
-        "random_walks4": random_walks4,
-        "node2vec4": node2vec4,
+        "walks_corpus4": walks_corpus4,
+        "redirect_resolve": redirect_resolve,
         "hyperball8": hyperball8,
         "mis12": mis12,
         "ktruss3_kcore10": ktruss3_kcore10,
@@ -2043,8 +2093,12 @@ FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
 GROUP BY r1.a""",
         "ppr8_milli": _ppr_milli_sql(0, 8),
         "frontier_plan": _frontier_plan_sql(4, 100),
-        "random_walks4": _walks_sql(4),
-        "node2vec4": _node2vec_sql(4, p=4, q=0.25, trials=3),
+        "walks_corpus4": (
+            f"SELECT 'rw' AS kind, * FROM ({_walks_sql(4)})\n"
+            "UNION ALL\n"
+            f"SELECT 'n2v' AS kind, * FROM ({_node2vec_sql(4, p=4, q=0.25, trials=3)})"
+        ),
+        "redirect_resolve": _redirect_sql(16),
         "hyperball8": _hyperball_sql(16, 8),
         "mis12": _mis_sql(12),
         "ktruss3_kcore10": f"""

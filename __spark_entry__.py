@@ -443,6 +443,54 @@ def _anchor_reach_sql(n_anchors: int, rounds: int) -> str:
     )
 
 
+BM25_QUERIES = [
+    "spark join order",
+    "fast hash table scan",
+    "stream window state",
+    "customer query slow",
+]
+
+
+def _bm25_sql(queries: list[str], k: int, k1_micro=1_200_000, b_micro=750_000) -> str:
+    """Integer BM25 twin — mirrors operators.index.bm25_topk_micro
+    exactly (idf_milli = (1000*N) div df; tf/length quotient in micro;
+    every div nonnegative so DuckDB // replays Spark div)."""
+    from fog_spark.operators.index import tokenize_query
+
+    vals = ", ".join(
+        f"(CAST({qid} AS BIGINT), '{t}')"
+        for qid, q in enumerate(queries)
+        for t in tokenize_query(q)
+    )
+    term = (
+        f"(((1000 * st.n) // df) * "
+        f"((1000000 * (tf * ({k1_micro} + 1000000))) // "
+        f"(1000000 * tf + ({k1_micro} * (1000000 - {b_micro} + "
+        f"({b_micro} * ((1000000000 * dl) // st.avgdl_milli)) // 1000000)) // 1000000))"
+        f") // 1000"
+    )
+    return f"""
+WITH d AS MATERIALIZED (SELECT doc_id, {TOKS} AS toks FROM documents),
+dl AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              GREATEST(1, (1000 * CAST(COALESCE(SUM(dl), 0) AS BIGINT))
+                          // CAST(COUNT(*) AS BIGINT)) AS avgdl_milli FROM dl),
+p AS MATERIALIZED (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+     FROM (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY 1, 2),
+q AS (SELECT * FROM (VALUES {vals}) AS v(query_id, term)),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+sc AS (SELECT q.query_id, p.doc_id, CAST(SUM({term}) AS BIGINT) AS score_micro
+       FROM p JOIN q USING (term) JOIN dft USING (term) JOIN dl USING (doc_id), st
+       GROUP BY 1, 2)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, score_micro
+FROM sc
+QUALIFY rank <= {k}"""
+
+
 def _redirect_sql(max_hops: int) -> str:
     """Sequential bounded redirect-chain replay — mirrors
     fog_spark.operators.redirects.resolve_redirects over the string-id
@@ -1191,11 +1239,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.state.where(F.col("level") < (1 << 62)).select("id", "level")
 
     def sssp16_milli(spark, sf):
+        # gate-cap merging (round 4): the plain run and the forced-hub
+        # run share (id, dist_milli), so both SSSP engine paths ride one
+        # tagged slot (freeing a slot for bm25_topk). Tag column keeps
+        # either run's regression independently hash-visible.
         e = _edges_milli(spark, sf).where(F.col("src") < F.col("dst"))
         res = _engine(spark).run(SSSP(source=0), e, max_iters=16)
-        return res.state.where(F.col("dist") != float("inf")).select(
-            "id", F.col("dist").cast("long").alias("dist_milli")
+        plain = res.state.where(F.col("dist") != float("inf")).select(
+            F.lit("plain").alias("variant"),
+            "id",
+            F.col("dist").cast("long").alias("dist_milli"),
         )
+        hub = sssp_hub_milli(spark, sf).select(
+            F.lit("hub").alias("variant"), "id", "dist_milli"
+        )
+        return plain.unionByName(hub)
 
     def sssp_hub_milli(spark, sf):
         # SSSP over HUB_EDGES_MILLI with the engine's hub cap forced to 64:
@@ -1583,6 +1641,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(pt, "id")
         )
 
+    def bm25_topk(spark, sf):
+        # inverted-index retrieval: BM25 integer-micro twin over the
+        # documents table for four fixed keyword queries — postings,
+        # query-term df, length normalization and the top-10 ranking all
+        # under one hash (rank ties break on doc_id; integer scores make
+        # the order engine-independent). The float-idf production path
+        # is pytest-pinned (tests/test_index.py).
+        from fog_spark.operators.index import bm25_topk_micro
+
+        return bm25_topk_micro(_docs(spark, sf), BM25_QUERIES, k=10)
+
     def dedup_exact_md5(spark, sf):
         return exact_dedup(_docs(spark, sf), hash_fn="md5")
 
@@ -1886,7 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass8_milli": spam_mass8_milli,
         "bfs_levels": bfs_levels,
         "sssp16_milli": sssp16_milli,
-        "sssp_hub_milli": sssp_hub_milli,
+        "bm25_topk": bm25_topk,
         "scc_labels": scc_labels,
         "msf_edges_milli": msf_edges_milli,
         "ppr8_milli": ppr8_milli,
@@ -2074,8 +2143,13 @@ reach(id, lvl) AS (
   SELECT g.dst, r.lvl + 1 FROM reach r JOIN g ON g.src = r.id WHERE r.lvl < 100
 )
 SELECT id, CAST(MIN(lvl) AS BIGINT) AS level FROM reach GROUP BY id""",
-        "sssp16_milli": _sssp_milli_sql(16),
-        "sssp_hub_milli": _sssp_milli_sql(16, edges_sql=HUB_EDGES_MILLI),
+        "sssp16_milli": (
+            f"SELECT 'plain' AS variant, * FROM ({_sssp_milli_sql(16)})\n"
+            "UNION ALL\n"
+            "SELECT 'hub' AS variant, * FROM "
+            f"({_sssp_milli_sql(16, edges_sql=HUB_EDGES_MILLI)})"
+        ),
+        "bm25_topk": _bm25_sql(BM25_QUERIES, k=10),
         "msf_edges_milli": _msf_milli_sql(
             16, "SELECT a, b, CAST(w AS BIGINT) AS w_milli FROM forest"
         ),

@@ -1,0 +1,182 @@
+"""Inverted index + BM25 retrieval over the document corpus.
+
+The classic web-search backend the link-graph signals (PageRank,
+anchor text) combine with: build a postings table (term, doc_id, tf),
+document lengths, and per-term document frequencies, then score
+documents for keyword queries with BM25 (Robertson-Sparck Jones;
+k1/b defaults 1.2/0.75). The reference engine has no text layer at all
+(its ingest starts at an edge list,
+/root/reference/convert/process_edgelist.cpp:55-221); this is the
+webtext extension of the corpus-pipeline surface.
+
+Two scorers, same discipline as the PageRank milli twins:
+
+- ``bm25_topk``: standard float BM25 with the log idf — the production
+  path, pytest-pinned against a pure-Python replay.
+- ``bm25_topk_micro``: a float-free rational twin — idf_milli =
+  (1000*N) div df (monotone in df like the log idf; not the same
+  curve, a documented scoring contract of its own) and the exact tf /
+  length-normalization quotient carried in integer micro units — so
+  every score replays bit-for-bit in the DuckDB oracle (all operands
+  nonnegative, so Spark ``div`` and DuckDB ``//`` agree). BIGINT-safe
+  to ~1e9 docs x 1e4-token docs; past that use the float path (the
+  ranking, not the hash, is the product at that scale).
+
+Scale shape: tokenize + explode + one (doc, term) hash agg builds
+postings (map-side combinable); scoring FILTERS postings to the query
+terms first (broadcast semi-join against a terms-sized frame), so df,
+length join and the (query, doc) score agg all run on query-matched
+rows only — a 100 TB corpus scores a 10-term query over the term's
+postings, never the full index. Top-k is a window over query_id
+(bounded partitions: one per query).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# must match the gate oracle's TOKS rule (__spark_entry__.py) and
+# operators/text.py's token_count_col
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _toks_col(text):
+    return F.filter(
+        F.split(F.lower(text), _TOKEN_SPLIT), lambda t: F.length(t) > 0
+    )
+
+
+def tokenize_query(q: str) -> list[str]:
+    """Distinct query terms under the corpus token rule (duplicate query
+    terms carry no extra weight — documented contract)."""
+    return sorted({t for t in re.split(_TOKEN_SPLIT, q.lower()) if t})
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, doc_id, tf) — one explode + one hash agg."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(_toks_col(F.col(text_col))).alias("term"),
+    )
+    return toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+
+
+def doc_lengths(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dl) token counts — zero-length docs kept (they belong in
+    N and avgdl)."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(_toks_col(F.col(text_col))).cast("long").alias("dl"),
+    )
+
+
+def _scored_postings(docs, queries, text_col, id_col):
+    """Common front half: postings filtered to query terms, joined with
+    df, dl and the query term table. Returns (frame, n_docs, avgdl_milli)."""
+    q_rows = [
+        (qid, t) for qid, q in enumerate(queries) for t in tokenize_query(q)
+    ]
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(q_rows, "query_id long, term string")
+    p = build_postings(docs, text_col, id_col)
+    dl = doc_lengths(docs, text_col, id_col)
+    stats = dl.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tot")
+    ).collect()[0]
+    n_docs, total = int(stats["n"]), int(stats["tot"])
+    # floor 1 so the all-empty-corpus edge never divides by zero
+    avgdl_milli = max(1, (1000 * total) // n_docs) if n_docs else 1000
+    # df over query terms only: one broadcast semi-join, then a term agg
+    # on the filtered (already per-(term,doc)-unique) postings
+    terms = qdf.select("term").distinct()
+    fp = p.join(F.broadcast(terms), "term", "left_semi")
+    dft = fp.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        fp.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+    )
+    return scored, n_docs, avgdl_milli
+
+
+def bm25_topk_micro(
+    docs: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    k1_micro: int = 1_200_000,
+    b_micro: int = 750_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score_micro) — integer-exact BM25 twin.
+
+    Per matched term: idf_milli = (1000*N) div df;
+    tf component = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) carried in
+    micro via truncating div at each stage (see module doc); term score
+    = (idf_milli * tf_comp_micro) div 1000. Rank orders by score desc
+    then doc_id — integer scores make the order engine-independent.
+    """
+    scored, n_docs, avgdl_milli = _scored_postings(docs, queries, text_col, id_col)
+    expr = f"""
+      (( (1000 * {n_docs}) div df ) *
+       ( (1000000 * (tf * ({k1_micro} + 1000000))) div
+         (1000000 * tf +
+          ({k1_micro} * (1000000 - {b_micro} +
+            ({b_micro} * ((1000000000 * dl) div {avgdl_milli})) div 1000000)
+          ) div 1000000)
+       )) div 1000"""
+    per_doc = (
+        scored.withColumn("_s", F.expr(expr))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_s").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_micro")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, rank, doc_id, score) — standard float BM25
+    (idf = ln((N - df + 0.5)/(df + 0.5) + 1), the Lucene form)."""
+    scored, n_docs, avgdl_milli = _scored_postings(docs, queries, text_col, id_col)
+    avgdl = avgdl_milli / 1000.0
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_comp = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    per_doc = (
+        scored.withColumn("_s", idf * tf_comp)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_s").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -1,0 +1,123 @@
+"""Inverted index + BM25 (operators/index.py) vs pure-Python replays."""
+
+import math
+
+from fog_spark.operators.index import (
+    bm25_topk,
+    bm25_topk_micro,
+    build_postings,
+    doc_lengths,
+    tokenize_query,
+)
+
+DOCS = [
+    (0, "spark join order spark spark hash"),
+    (1, "hash table scan fast fast fast hash"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "spark window stream watermark state"),
+    (4, ""),  # empty doc: in N and avgdl, never in postings
+    (5, "join join join join join join join join join join"),
+]
+QUERIES = ["spark join", "fast hash table", "watermark", "zzz-nothing"]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _tok(text):
+    import re
+
+    return [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+
+
+def _replay(k1_micro=1_200_000, b_micro=750_000):
+    """Integer replay of bm25_topk_micro's documented contract."""
+    toks = {d: _tok(t) for d, t in DOCS}
+    n = len(DOCS)
+    avgdl_milli = max(1, (1000 * sum(len(v) for v in toks.values())) // n)
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, q in enumerate(QUERIES):
+        scores = {}
+        for t in tokenize_query(q):
+            if t not in df:
+                continue
+            for d, ts in toks.items():
+                tf = ts.count(t)
+                if not tf:
+                    continue
+                dl = len(ts)
+                r = (1000000000 * dl) // avgdl_milli
+                lnorm = 1000000 - b_micro + (b_micro * r) // 1000000
+                xk = (k1_micro * lnorm) // 1000000
+                tfc = (1000000 * (tf * (k1_micro + 1000000))) // (1000000 * tf + xk)
+                idf = (1000 * n) // df[t]
+                scores[d] = scores.get(d, 0) + (idf * tfc) // 1000
+        out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+def test_postings_and_lengths(spark):
+    d = _docs_df(spark)
+    p = {(r["term"], r["doc_id"]): r["tf"] for r in build_postings(d).collect()}
+    assert p[("spark", 0)] == 3 and p[("join", 5)] == 10 and ("", 4) not in p
+    dl = {r["doc_id"]: r["dl"] for r in doc_lengths(d).collect()}
+    assert dl[4] == 0 and dl[2] == 9
+
+
+def test_bm25_micro_matches_replay(spark):
+    want = _replay()
+    rows = bm25_topk_micro(_docs_df(spark), QUERIES, k=10).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score_micro"]))
+    assert got == {qid: lst for qid, lst in want.items() if lst}
+    # ranks are 1..n contiguous per query
+    for r in rows:
+        assert 1 <= r["rank"] <= 10
+
+
+def test_bm25_float_matches_replay(spark):
+    toks = {d: _tok(t) for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = max(1, (1000 * sum(len(v) for v in toks.values())) // n) / 1000.0
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    k1, b = 1.2, 0.75
+    rows = bm25_topk(_docs_df(spark), QUERIES, k=10).collect()
+    for r in rows:
+        q = QUERIES[r["query_id"]]
+        want = 0.0
+        for t in tokenize_query(q):
+            ts = toks[r["doc_id"]]
+            tf = ts.count(t)
+            if not tf or t not in df:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            want += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        assert abs(r["score"] - want) < 1e-9
+
+
+def test_bm25_ranking_sanity(spark):
+    rows = bm25_topk_micro(_docs_df(spark), QUERIES, k=3).collect()
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    # "spark join": doc 0 (3x spark + join) beats doc 3 (1x spark)
+    assert by_q[0][0] == 0
+    # "fast hash table": doc 1 holds every term
+    assert by_q[1][0] == 1
+    # "watermark" only matches doc 3; "zzz-nothing" matches nothing
+    assert by_q[2] == [3]
+    assert 3 not in by_q
+
+
+def test_topk_truncates(spark):
+    rows = bm25_topk_micro(_docs_df(spark), ["join"], k=1).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 5  # join x10 dominates

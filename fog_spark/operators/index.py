@@ -35,9 +35,11 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from fog_spark.hashing import pmod
 
 # must match the gate oracle's TOKS rule (__spark_entry__.py) and
 # operators/text.py's token_count_col
@@ -107,6 +109,32 @@ def _scored_postings(docs, queries, text_col, id_col):
     return scored, n_docs, avgdl_milli
 
 
+_TOPK_SALTS = 64
+
+
+def _topk(per_doc: DataFrame, score: Column, k: int) -> DataFrame:
+    """Exact top-k per query_id without a single-task global sort: a
+    window over query_id alone would sort EVERY matching doc of a broad
+    query in one task (the window-over-skewable-key trap). Phase 1 ranks
+    within (query_id, hash-salt of doc_id) partitions and keeps k per
+    salt — the global top-k is a subset of the per-salt top-k's union —
+    so phase 2's window sees at most k*_TOPK_SALTS rows per query.
+    Deterministic: the salt is a pure hash of doc_id and the final
+    ordering (score desc, doc_id) is a total order."""
+    order = [score.desc(), F.col("doc_id")]
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    cand = (
+        per_doc.withColumn("_salt", pmod(F.xxhash64("doc_id"), _TOPK_SALTS))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return cand.withColumn("rank", F.row_number().over(w2).cast("long")).where(
+        F.col("rank") <= k
+    )
+
+
 def bm25_topk_micro(
     docs: DataFrame,
     queries: list[str],
@@ -138,13 +166,8 @@ def bm25_topk_micro(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("_s").alias("score_micro"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_micro").desc(), F.col("doc_id")
-    )
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score_micro")
+    return _topk(per_doc, F.col("score_micro"), k).select(
+        "query_id", "rank", "doc_id", "score_micro"
     )
 
 
@@ -172,11 +195,6 @@ def bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("_s").alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id")
-    )
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
+    return _topk(per_doc, F.col("score"), k).select(
+        "query_id", "rank", "doc_id", "score"
     )

@@ -63,6 +63,9 @@ ALGOS = (
     "effective-diameter",
     "spam-mass",
     "katz",
+    "census",
+    "resolve-redirects",
+    "bm25",
 )
 
 
@@ -142,6 +145,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--walk-len", type=int, default=8)
     p.add_argument("--node2vec-p", type=float, default=1.0)
     p.add_argument("--node2vec-q", type=float, default=1.0)
+    p.add_argument("--redirect-max-hops", type=int, default=16,
+                   help="resolve-redirects: chain-length cap (power of two)")
+    p.add_argument("--query", action="append", default=None,
+                   help="bm25: keyword query (repeatable; one result set per query)")
+    p.add_argument("--topk", type=int, default=10,
+                   help="bm25: results per query")
+    p.add_argument("--bm25-integer", action="store_true",
+                   help="bm25: use the integer-micro scoring twin instead of "
+                        "float BM25 (bit-reproducible across engines)")
     return p
 
 
@@ -268,6 +280,34 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
             resolve=args.resolve_links,
         )
 
+    if args.algo == "resolve-redirects":
+        # redirect/canonical alias collapse (operators/redirects.py):
+        # pages formats extract rel=canonical declarations; parquet input
+        # is a (url, target) redirect table (e.g. from 3xx records)
+        from fog_spark.operators.redirects import canonical_edges, resolve_redirects
+
+        if args.format in ("pages", "warc", "warc-split"):
+            rmap = canonical_edges(_load_pages(spark, args))
+        else:
+            rmap = spark.read.parquet(args.edges)
+            if "url" not in rmap.columns or "target" not in rmap.columns:
+                raise SystemExit(
+                    "--algo resolve-redirects parquet input needs (url, target) columns"
+                )
+        return resolve_redirects(rmap, max_hops=args.redirect_max_hops)
+
+    if args.algo == "bm25":
+        # keyword retrieval over a documents parquet (doc_id, text)
+        from fog_spark.operators.index import bm25_topk, bm25_topk_micro
+
+        if not args.query:
+            raise SystemExit("--algo bm25 requires at least one --query")
+        docs = spark.read.parquet(args.edges)
+        if "doc_id" not in docs.columns or "text" not in docs.columns:
+            raise SystemExit("--algo bm25 input needs (doc_id, text) columns")
+        fn = bm25_topk_micro if args.bm25_integer else bm25_topk
+        return fn(docs, args.query, k=args.topk)
+
     dim = None
     if args.host_rollup:
         # run ANY algorithm over the host graph: pages -> host rollup ->
@@ -318,6 +358,9 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         return spark.createDataFrame(
             [tuple(s.values())], ", ".join(f"{k} long" for k in s)
         )
+    if args.algo == "census":
+        # reciprocity + assortativity sums (graph.census_stats)
+        return G.census_stats(e)
     if args.algo == "scc":
         return scc(e)
     if args.algo == "msf":

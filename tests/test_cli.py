@@ -128,3 +128,52 @@ def test_cli_pagerank_warm(spark, tmp_path):
     import pytest
     with pytest.raises(SystemExit):
         main(["--algo", "pagerank-warm", "--edges", str(pq)], spark=spark)
+
+
+def test_cli_census_redirects_bm25(spark, tmp_path):
+    # census over an edge parquet
+    edges, _n = GX.ALL_GRAPHS["two_triangles"]
+    pq = tmp_path / "edges_pq2"
+    make_edges_df(spark, edges).write.mode("overwrite").parquet(str(pq))
+    out = tmp_path / "census_out"
+    assert main(
+        ["--algo", "census", "--edges", str(pq), "--output", str(out)],
+        spark=spark,
+    ) == 0
+    row = spark.read.parquet(str(out)).collect()[0]
+    assert row["reciprocity_permille"] == 1000  # fully reciprocal cliques
+
+    # resolve-redirects over a (url, target) parquet
+    rmap = tmp_path / "redirects_pq"
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "url string, target string"
+    ).write.mode("overwrite").parquet(str(rmap))
+    rout = tmp_path / "redirects_out"
+    assert main(
+        ["--algo", "resolve-redirects", "--edges", str(rmap), "--output", str(rout)],
+        spark=spark,
+    ) == 0
+    got = {r["url"]: r["final_url"] for r in spark.read.parquet(str(rout)).collect()}
+    assert got == {"a": "c", "b": "c"}
+
+    # bm25 over a (doc_id, text) parquet; integer twin
+    docs = tmp_path / "docs_pq"
+    spark.createDataFrame(
+        [(0, "spark join"), (1, "hash table")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(docs))
+    bout = tmp_path / "bm25_out"
+    assert main(
+        ["--algo", "bm25", "--edges", str(docs), "--query", "spark",
+         "--bm25-integer", "--output", str(bout)],
+        spark=spark,
+    ) == 0
+    rows = spark.read.parquet(str(bout)).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 0
+
+    # guards: bm25 without --query, redirects without url/target columns
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["--algo", "bm25", "--edges", str(docs)], spark=spark)
+    with pytest.raises(SystemExit):
+        main(["--algo", "resolve-redirects", "--edges", str(pq)], spark=spark)

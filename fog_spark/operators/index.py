@@ -80,16 +80,22 @@ def doc_lengths(
     )
 
 
-def _scored_postings(docs, queries, text_col, id_col):
+def _scored_postings(docs, queries, text_col, id_col, postings=None, lengths=None):
     """Common front half: postings filtered to query terms, joined with
-    df, dl and the query term table. Returns (frame, n_docs, avgdl_milli)."""
+    df, dl and the query term table. Returns (frame, n_docs, avgdl_milli).
+
+    ``postings``/``lengths`` accept a PREBUILT index (build_postings /
+    doc_lengths persisted as parquet) — the production shape: the ad-hoc
+    path re-tokenizes the corpus for postings, lengths and the length
+    stats (~3 scans), which is fine for one-shot scoring but not for a
+    query service over 100 TB; build once, query many."""
     q_rows = [
         (qid, t) for qid, q in enumerate(queries) for t in tokenize_query(q)
     ]
     spark = docs.sparkSession
     qdf = spark.createDataFrame(q_rows, "query_id long, term string")
-    p = build_postings(docs, text_col, id_col)
-    dl = doc_lengths(docs, text_col, id_col)
+    p = postings if postings is not None else build_postings(docs, text_col, id_col)
+    dl = lengths if lengths is not None else doc_lengths(docs, text_col, id_col)
     stats = dl.agg(
         F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("tot")
     ).collect()[0]
@@ -143,6 +149,8 @@ def bm25_topk_micro(
     b_micro: int = 750_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+    lengths: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score_micro) — integer-exact BM25 twin.
 
@@ -151,8 +159,12 @@ def bm25_topk_micro(
     micro via truncating div at each stage (see module doc); term score
     = (idf_milli * tf_comp_micro) div 1000. Rank orders by score desc
     then doc_id — integer scores make the order engine-independent.
+    Pass a persisted ``postings``/``lengths`` pair to skip re-tokenizing
+    the corpus (see _scored_postings).
     """
-    scored, n_docs, avgdl_milli = _scored_postings(docs, queries, text_col, id_col)
+    scored, n_docs, avgdl_milli = _scored_postings(
+        docs, queries, text_col, id_col, postings, lengths
+    )
     expr = f"""
       (( (1000 * {n_docs}) div df ) *
        ( (1000000 * (tf * ({k1_micro} + 1000000))) div
@@ -179,10 +191,14 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    postings: DataFrame | None = None,
+    lengths: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — standard float BM25
     (idf = ln((N - df + 0.5)/(df + 0.5) + 1), the Lucene form)."""
-    scored, n_docs, avgdl_milli = _scored_postings(docs, queries, text_col, id_col)
+    scored, n_docs, avgdl_milli = _scored_postings(
+        docs, queries, text_col, id_col, postings, lengths
+    )
     avgdl = avgdl_milli / 1000.0
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0

@@ -70,14 +70,24 @@ def resolve_redirects(redirects: DataFrame, max_hops: int = 16) -> DataFrame:
     """
     if max_hops < 1 or (max_hops & (max_hops - 1)) != 0:
         raise ValueError(f"max_hops must be a power of two, got {max_hops}")
+    from fog_spark.plans.materialize import Materializer
+
     m = collapse_redirect_map(redirects)
+    # each round self-joins the state, so an unmaterialized plan holds
+    # TWO copies of the previous round's subtree — 2^rounds copies of
+    # the base by the end (and re-inflates the inherited-Statistics
+    # estimates the engine loop strips). Checkpoint the state per round,
+    # exactly like plans/engine.py's iteration loop.
+    M = Materializer(redirects.sparkSession)
     # done(url) = target has no outgoing redirect
     t = m.select(F.col("url").alias("_t"), F.col("target").alias("_tt"))
-    state = m.join(t, m["target"] == t["_t"], "left").select(
-        "url",
-        "target",
-        F.lit(1).cast("long").alias("hops"),
-        F.col("_t").isNull().alias("done"),
+    state = M.checkpoint(
+        m.join(t, m["target"] == t["_t"], "left").select(
+            "url",
+            "target",
+            F.lit(1).cast("long").alias("hops"),
+            F.col("_t").isNull().alias("done"),
+        )
     )
     rounds = max(0, (max_hops - 1).bit_length())  # ceil(log2(max_hops))
     for _ in range(rounds):
@@ -90,21 +100,29 @@ def resolve_redirects(redirects: DataFrame, max_hops: int = 16) -> DataFrame:
         # invariant: done == false implies target is a key of the map,
         # so the left join always matches for live rows; the isNull
         # branch is unreachable safety
-        state = state.join(nxt, state["target"] == nxt["_t"], "left").select(
-            "url",
-            F.when(F.col("done") | F.col("_t").isNull(), F.col("target"))
-            .otherwise(F.col("_tt"))
-            .alias("target"),
-            F.when(F.col("done") | F.col("_t").isNull(), F.col("hops"))
-            .otherwise(F.col("hops") + F.col("_th"))
-            .alias("hops"),
-            (F.col("done") | F.col("_t").isNull() | F.col("_td")).alias("done"),
+        state = M.swap(
+            state,
+            state.join(nxt, state["target"] == nxt["_t"], "left").select(
+                "url",
+                F.when(F.col("done") | F.col("_t").isNull(), F.col("target"))
+                .otherwise(F.col("_tt"))
+                .alias("target"),
+                F.when(F.col("done") | F.col("_t").isNull(), F.col("hops"))
+                .otherwise(F.col("hops") + F.col("_th"))
+                .alias("hops"),
+                (F.col("done") | F.col("_t").isNull() | F.col("_td")).alias("done"),
+            ),
         )
-    return state.select(
-        "url",
-        F.col("target").alias("final_url"),
-        "hops",
-        F.col("done").alias("resolved"),
+    # the result view owns the final round's cached blocks (adopt), so a
+    # caller may Materializer-free it like any engine output
+    return M.adopt(
+        state.select(
+            "url",
+            F.col("target").alias("final_url"),
+            "hops",
+            F.col("done").alias("resolved"),
+        ),
+        state,
     )
 
 

@@ -121,3 +121,22 @@ def test_bm25_ranking_sanity(spark):
 def test_topk_truncates(spark):
     rows = bm25_topk_micro(_docs_df(spark), ["join"], k=1).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 5  # join x10 dominates
+
+
+def test_prebuilt_index_matches_adhoc(spark, tmp_path):
+    """The production shape — persisted postings + lengths — scores
+    identically to the ad-hoc re-tokenizing path."""
+    d = _docs_df(spark)
+    p_path, l_path = str(tmp_path / "postings"), str(tmp_path / "lengths")
+    build_postings(d).write.mode("overwrite").parquet(p_path)
+    doc_lengths(d).write.mode("overwrite").parquet(l_path)
+    pre = bm25_topk_micro(
+        d,
+        QUERIES,
+        k=10,
+        postings=spark.read.parquet(p_path),
+        lengths=spark.read.parquet(l_path),
+    ).collect()
+    adhoc = bm25_topk_micro(d, QUERIES, k=10).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score_micro"])
+    assert sorted(map(key, pre)) == sorted(map(key, adhoc))

@@ -462,10 +462,14 @@ def _bm25_sql(queries: list[str], k: int, k1_micro=1_200_000, b_micro=750_000) -
         for qid, q in enumerate(queries)
         for t in tokenize_query(q)
     )
+    # LEAST mirrors operators.index.TF_CAP (ANSI overflow guard)
+    from fog_spark.operators.index import TF_CAP
+
+    tfc = f"LEAST(tf, {TF_CAP})"
     term = (
         f"(((1000 * st.n) // df) * "
-        f"((1000000 * (tf * ({k1_micro} + 1000000))) // "
-        f"(1000000 * tf + ({k1_micro} * (1000000 - {b_micro} + "
+        f"((1000000 * ({tfc} * ({k1_micro} + 1000000))) // "
+        f"(1000000 * {tfc} + ({k1_micro} * (1000000 - {b_micro} + "
         f"({b_micro} * ((1000000000 * dl) // st.avgdl_milli)) // 1000000)) // 1000000))"
         f") // 1000"
     )
@@ -2092,8 +2096,9 @@ od AS (SELECT src, COUNT(*) AS c FROM ed GROUP BY src),
 ig AS (SELECT dst, COUNT(*) AS c FROM ed GROUP BY dst),
 px AS (SELECT od.c AS x, ig.c AS y FROM ed
        JOIN od ON ed.src = od.src JOIN ig ON ed.dst = ig.dst),
-s AS (SELECT COUNT(*) AS n, SUM(x) AS sxo, SUM(y) AS syi, SUM(x*y) AS sxy,
-             SUM(x*x) AS sx2, SUM(y*y) AS sy2 FROM px),
+s AS (SELECT COUNT(*) AS n, COALESCE(SUM(x), 0) AS sxo, COALESCE(SUM(y), 0) AS syi,
+             COALESCE(SUM(x*y), 0) AS sxy, COALESCE(SUM(x*x), 0) AS sx2,
+             COALESCE(SUM(y*y), 0) AS sy2 FROM px),
 r AS (SELECT COUNT(*) AS nr FROM ed a JOIN ed b ON a.src = b.dst AND a.dst = b.src)
 SELECT (SELECT MIN(LEAST(src, dst)) FROM e) AS min_vertex_id,
        (SELECT MAX(GREATEST(src, dst)) FROM e) AS max_vertex_id,
@@ -2102,7 +2107,8 @@ SELECT (SELECT MIN(LEAST(src, dst)) FROM e) AS min_vertex_id,
        CAST(s.n AS BIGINT) AS n_directed,
        CAST(r.nr AS BIGINT) AS n_reciprocal,
        -- // floors, Spark div truncates: identical for the nonnegative counts here
-       CAST((1000 * r.nr) // s.n AS BIGINT) AS reciprocity_permille,
+       CAST(CASE WHEN s.n = 0 THEN 0 ELSE (1000 * r.nr) // s.n END AS BIGINT)
+           AS reciprocity_permille,
        CAST(s.sxo AS BIGINT) AS sxo, CAST(s.syi AS BIGINT) AS syi,
        CAST(s.sxy AS BIGINT) AS sxy, CAST(s.sx2 AS BIGINT) AS sx2,
        CAST(s.sy2 AS BIGINT) AS sy2

@@ -286,6 +286,12 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         # is a (url, target) redirect table (e.g. from 3xx records)
         from fog_spark.operators.redirects import canonical_edges, resolve_redirects
 
+        h = args.redirect_max_hops
+        if h < 1 or (h & (h - 1)) != 0:
+            raise SystemExit(
+                f"--redirect-max-hops must be a power of two, got {h} "
+                "(hop exactness of the doubling depends on it)"
+            )
         if args.format in ("pages", "warc", "warc-split"):
             rmap = canonical_edges(_load_pages(spark, args))
         else:

@@ -198,22 +198,28 @@ def census_stats(edges: DataFrame) -> DataFrame:
     )
     od = out_degrees(e).withColumnRenamed("id", "src").withColumnRenamed("outdeg", "_x")
     idg = in_degrees(e).withColumnRenamed("id", "dst").withColumnRenamed("indeg", "_y")
+    zero = F.lit(0).cast("long")
     sums = (
         e.join(od, "src")
         .join(idg, "dst")
         .agg(
             F.count("*").alias("n_directed"),
-            F.sum("_x").alias("sxo"),
-            F.sum("_y").alias("syi"),
-            F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
-            F.sum(F.col("_x") * F.col("_x")).alias("sx2"),
-            F.sum(F.col("_y") * F.col("_y")).alias("sy2"),
+            # empty-set sums are NULL; the census defines them as 0
+            F.coalesce(F.sum("_x"), zero).alias("sxo"),
+            F.coalesce(F.sum("_y"), zero).alias("syi"),
+            F.coalesce(F.sum(F.col("_x") * F.col("_y")), zero).alias("sxy"),
+            F.coalesce(F.sum(F.col("_x") * F.col("_x")), zero).alias("sx2"),
+            F.coalesce(F.sum(F.col("_y") * F.col("_y")), zero).alias("sy2"),
         )
     )
     return sums.crossJoin(F.broadcast(recip)).select(
         "n_directed",
         "n_reciprocal",
-        F.expr("(1000 * n_reciprocal) div n_directed").alias("reciprocity_permille"),
+        # guarded: an empty (or all-self-loop) edge set defines
+        # reciprocity 0 rather than an ANSI DIVIDE_BY_ZERO abort
+        F.when(F.col("n_directed") == 0, zero)
+        .otherwise(F.expr("(1000 * n_reciprocal) div n_directed"))
+        .alias("reciprocity_permille"),
         "sxo",
         "syi",
         "sxy",

@@ -18,9 +18,11 @@ Two scorers, same discipline as the PageRank milli twins:
   curve, a documented scoring contract of its own) and the exact tf /
   length-normalization quotient carried in integer micro units — so
   every score replays bit-for-bit in the DuckDB oracle (all operands
-  nonnegative, so Spark ``div`` and DuckDB ``//`` agree). BIGINT-safe
-  to ~1e9 docs x 1e4-token docs; past that use the float path (the
-  ranking, not the hash, is the product at that scale).
+  nonnegative, so Spark ``div`` and DuckDB ``//`` agree). tf is clamped
+  at TF_CAP so one keyword-stuffed page can never overflow the BIGINT
+  expression and abort the job; the idf side is BIGINT-safe to ~1e9
+  docs — past that use the float path (the ranking, not the hash, is
+  the product at that scale).
 
 Scale shape: tokenize + explode + one (doc, term) hash agg builds
 postings (map-side combinable); scoring FILTERS postings to the query
@@ -41,15 +43,20 @@ from pyspark.sql.window import Window
 
 from fog_spark.hashing import pmod
 
-# must match the gate oracle's TOKS rule (__spark_entry__.py) and
-# operators/text.py's token_count_col
-_TOKEN_SPLIT = "[^a-z0-9]+"
+# ONE corpus token rule: operators/dedup.tokenize_col is the canonical
+# Column implementation (text.py routes through it too; the gate
+# oracle's TOKS replays it in DuckDB) — import, never re-implement
+from fog_spark.operators.dedup import tokenize_col as _toks_col
 
+_TOKEN_SPLIT = "[^a-z0-9]+"  # python-side mirror for tokenize_query
 
-def _toks_col(text):
-    return F.filter(
-        F.split(F.lower(text), _TOKEN_SPLIT), lambda t: F.length(t) > 0
-    )
+# tf clamp for the integer twin: keeps the score expression inside
+# BIGINT under ANSI (raw tf >= ~4.19e6 — a keyword-stuffed ~25 MB spam
+# page — would overflow `1000000 * tf * (k1+1e6)` and abort the whole
+# job). The tf component is within one div-rounding of its k1+1
+# asymptote long before 1e6, so clamping changes no sane ranking;
+# mirrored in the DuckDB oracle and the pytest replay.
+TF_CAP = 1_000_000
 
 
 def tokenize_query(q: str) -> list[str]:
@@ -167,14 +174,15 @@ def bm25_topk_micro(
     )
     expr = f"""
       (( (1000 * {n_docs}) div df ) *
-       ( (1000000 * (tf * ({k1_micro} + 1000000))) div
-         (1000000 * tf +
+       ( (1000000 * (_tfc * ({k1_micro} + 1000000))) div
+         (1000000 * _tfc +
           ({k1_micro} * (1000000 - {b_micro} +
             ({b_micro} * ((1000000000 * dl) div {avgdl_milli})) div 1000000)
           ) div 1000000)
        )) div 1000"""
     per_doc = (
-        scored.withColumn("_s", F.expr(expr))
+        scored.withColumn("_tfc", F.least(F.col("tf"), F.lit(TF_CAP)))
+        .withColumn("_s", F.expr(expr))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("_s").alias("score_micro"))
     )

@@ -32,10 +32,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# one <link ...> element; rel/href attribute order varies in the wild
+# one <link ...> element; rel/href attribute order varies in the wild.
+# rel is a space-separated TOKEN LIST per the HTML spec (and search
+# engines honor canonical anywhere in it), so the rel pattern accepts
+# quoted lists containing the token as well as a bare unquoted value;
+# href accepts quoted or unquoted (valid HTML) attribute values.
 _LINK_TAG_RE = r"(?i)<link\b[^>]*>"
-_REL_CANON_RE = r"""(?i)\brel\s*=\s*["']?canonical["'\s>]"""
-_HREF_RE = r"""(?i)\bhref\s*=\s*["']([^"']*)["']"""
+_REL_CANON_RE = (
+    r"""(?i)\brel\s*=\s*("[^"]*\bcanonical\b[^"]*"|'[^']*\bcanonical\b[^']*'"""
+    r"""|canonical(?=[\s/>]|$))"""
+)
+_HREF_Q_RE = r"""(?i)\bhref\s*=\s*["']([^"']*)["']"""
+_HREF_U_RE = r"""(?i)\bhref\s*=\s*([^"'\s>][^\s>]*)"""
 
 
 def collapse_redirect_map(
@@ -182,7 +190,18 @@ def canonical_edges(pages: DataFrame) -> DataFrame:
         "url",
         # F.get is NULL on an empty array even under ANSI mode (where
         # element_at would throw INVALID_ARRAY_INDEX)
-        F.regexp_extract(F.get(F.col("_canon"), 0), _HREF_RE, 1).alias("_href"),
+        F.get(F.col("_canon"), 0).alias("_tag"),
+    ).select(
+        "url",
+        # quoted href wins; fall back to the unquoted form (the unquoted
+        # pattern can't fire on a quoted value — its first char excludes
+        # quotes — so the precedence is unambiguous)
+        F.when(
+            F.regexp_extract(F.col("_tag"), _HREF_Q_RE, 1) != "",
+            F.regexp_extract(F.col("_tag"), _HREF_Q_RE, 1),
+        )
+        .otherwise(F.regexp_extract(F.col("_tag"), _HREF_U_RE, 1))
+        .alias("_href"),
     ).where(F.col("_href").isNotNull() & (F.col("_href") != ""))
     resolved = canon.select(
         "url", resolve_href(F.col("url"), F.col("_href")).alias("_resolved")

@@ -177,3 +177,18 @@ def test_cli_census_redirects_bm25(spark, tmp_path):
         main(["--algo", "bm25", "--edges", str(docs)], spark=spark)
     with pytest.raises(SystemExit):
         main(["--algo", "resolve-redirects", "--edges", str(pq)], spark=spark)
+
+
+def test_cli_redirect_max_hops_guard(spark, tmp_path):
+    rmap = tmp_path / "rm_pq"
+    spark.createDataFrame(
+        [("a", "b")], "url string, target string"
+    ).write.mode("overwrite").parquet(str(rmap))
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(
+            ["--algo", "resolve-redirects", "--edges", str(rmap),
+             "--redirect-max-hops", "20"],
+            spark=spark,
+        )

@@ -151,3 +151,13 @@ def test_census_reciprocity_values(spark):
     assert full["reciprocity_permille"] == 1000
     star = G.census_stats(make_edges_df(spark, STAR_HUB)).collect()[0]
     assert star["n_reciprocal"] == 2 and star["reciprocity_permille"] == 200
+
+
+def test_census_empty_and_selfloop_only(spark):
+    # only self-loops -> empty loop-free set: all zeros, no ANSI
+    # DIVIDE_BY_ZERO (review finding)
+    row = G.census_stats(make_edges_df(spark, [(1, 1), (2, 2)])).collect()[0]
+    assert row.asDict() == {
+        "n_directed": 0, "n_reciprocal": 0, "reciprocity_permille": 0,
+        "sxo": 0, "syi": 0, "sxy": 0, "sx2": 0, "sy2": 0,
+    }

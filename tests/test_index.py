@@ -140,3 +140,30 @@ def test_prebuilt_index_matches_adhoc(spark, tmp_path):
     adhoc = bm25_topk_micro(d, QUERIES, k=10).collect()
     key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score_micro"])
     assert sorted(map(key, pre)) == sorted(map(key, adhoc))
+
+
+def test_tf_clamp_prevents_overflow(spark):
+    """A keyword-stuffed page with a huge tf must not abort the job under
+    ANSI overflow checking (review finding): tf clamps at TF_CAP, and any
+    tf >= TF_CAP scores identically."""
+    from fog_spark.operators.index import TF_CAP
+
+    def run(tf):
+        # dl held constant across runs so avgdl (and hence every score)
+        # depends only on the clamp
+        postings = spark.createDataFrame(
+            [("spark", 0, tf), ("spark", 1, 1)], "term string, doc_id long, tf long"
+        )
+        lengths = spark.createDataFrame(
+            [(0, 100), (1, 5)], "doc_id long, dl long"
+        )
+        docs = spark.createDataFrame([(0, ""), (1, "")], "doc_id long, text string")
+        return {
+            r["doc_id"]: r["score_micro"]
+            for r in bm25_topk_micro(
+                docs, ["spark"], k=10, postings=postings, lengths=lengths
+            ).collect()
+        }
+    huge = run(10_000_000)  # raw expr would exceed BIGINT
+    capped = run(TF_CAP)
+    assert huge == capped  # tf saturates at the clamp; nothing aborts

@@ -174,3 +174,24 @@ def test_canonical_feeds_resolver(spark):
         "http://h.test/amp/x": ("http://h.test/x-final", 2, True),
         "http://h.test/x": ("http://h.test/x-final", 1, True),
     }
+
+
+def test_canonical_rel_token_list_and_unquoted_href(spark):
+    # rel is a token list per the HTML spec; href may be unquoted
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            ("http://h1.test/p", '<link rel="alternate canonical" href="/x">'),
+            ("http://h2.test/p", "<link rel=canonical href=/canon>"),
+            ("http://h3.test/p", '<link rel="alternate" href="/not-canon">'),
+            # 'canonical' as a substring of another token must NOT match
+            ("http://h4.test/p", '<link rel="noncanonicalish" href="/no">'),
+        ],
+        "url string, html_s string",
+    ).select("url", F.encode("html_s", "UTF-8").alias("html"))
+    got = {r["url"]: r["target"] for r in canonical_edges(pages).collect()}
+    assert got == {
+        "http://h1.test/p": "http://h1.test/x",
+        "http://h2.test/p": "http://h2.test/canon",
+    }

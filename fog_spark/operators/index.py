@@ -222,3 +222,111 @@ def bm25_topk(
     return _topk(per_doc, F.col("score"), k).select(
         "query_id", "rank", "doc_id", "score"
     )
+
+
+# ------------------------------------------------------------- BM25F
+
+# weighted-tf clamp (milli units): keeps the BM25F expression inside
+# BIGINT under ANSI the same way TF_CAP does for plain BM25 — the tf
+# saturation is within div rounding of its asymptote long before this
+TFW_CAP_MILLI = 1_000_000
+
+
+def anchor_field(links: DataFrame, follow_only: bool = True) -> DataFrame:
+    """(doc_id, tf) postings + (doc_id, dl) lengths for the ANCHOR-TEXT
+    field of each linked-to URL, from a page_links-shaped frame
+    (url, dst_url, anchor[, nofollow]) — the classic relevance signal:
+    text OTHER pages use to describe a target ranks the target. Returns
+    (postings, lengths) keyed by doc_id = dst_url (string); feed into
+    bm25f_topk_micro alongside a body field keyed the same way. One
+    explode + two hash aggs, hub-safe (a popular URL's anchors spread
+    across partitions until the final per-doc agg, which is
+    map-side-combinable)."""
+    a = links
+    if follow_only and "nofollow" in a.columns:
+        a = a.where(~F.col("nofollow"))
+    toks = a.where(F.trim(F.col("anchor")) != "").select(
+        F.col("dst_url").alias("doc_id"),
+        F.explode(_toks_col(F.col("anchor"))).alias("term"),
+    )
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    lengths = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    return postings, lengths
+
+
+def bm25f_topk_micro(
+    fields: list[tuple[DataFrame, DataFrame]],
+    weights_milli: list[int],
+    queries: list[str],
+    k: int = 10,
+    k1_micro: int = 1_200_000,
+    b_micro: int = 750_000,
+) -> DataFrame:
+    """(query_id, rank, doc_id, score_micro) — integer-exact BM25F
+    (Robertson-Zaragoza field-weighted BM25): per term and doc the
+    field tfs combine FIRST (T_milli = sum_f w_f_milli * tf_f, one
+    saturation over the combined value — not a score-level fusion),
+    document length likewise (DL_milli = sum_f w_f_milli * dl_f), then
+    the plain-BM25 integer pipeline runs on the milli-valued tf:
+
+      component_micro = (1e6 * T * (k1+1e6)) div (1e3 * (1e3*T + K_micro))
+
+    which for a single field at weight 1000 is IDENTICALLY plain
+    bm25_topk_micro (numerator and denominator share the exact factor
+    1000, and (a*c) div (b*c) == a div b for positive ints — pinned by
+    test). idf uses the combined df (docs holding the term in ANY
+    field). ``fields`` is a list of (postings, lengths) with a shared
+    doc_id type (long ids or url strings); a doc missing from a field's
+    frames contributes 0 for that field. T clamps at TFW_CAP_MILLI
+    (ANSI overflow guard, same reasoning as TF_CAP).
+    """
+    if len(fields) != len(weights_milli) or not fields:
+        raise ValueError("fields and weights_milli must align and be non-empty")
+    q_rows = [(qid, t) for qid, q in enumerate(queries) for t in tokenize_query(q)]
+    spark = fields[0][0].sparkSession
+    qdf = spark.createDataFrame(q_rows, "query_id long, term string")
+    terms = qdf.select("term").distinct()
+    # combined weighted postings over query terms only
+    wp = None
+    wl = None
+    for (p, l), w in zip(fields, weights_milli):
+        fp = p.join(F.broadcast(terms), "term", "left_semi").select(
+            "term", "doc_id", (F.col("tf") * F.lit(int(w))).alias("_tfw")
+        )
+        fl = l.select("doc_id", (F.col("dl") * F.lit(int(w))).alias("_dlw"))
+        wp = fp if wp is None else wp.unionByName(fp)
+        wl = fl if wl is None else wl.unionByName(fl)
+    T = (
+        wp.groupBy("term", "doc_id")
+        .agg(F.sum("_tfw").alias("_t_raw"))
+        .withColumn("_t", F.least(F.col("_t_raw"), F.lit(TFW_CAP_MILLI)))
+        .drop("_t_raw")
+    )
+    DL = wl.groupBy("doc_id").agg(F.sum("_dlw").alias("_dl"))
+    stats = DL.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("_dl"), F.lit(0)).alias("tot")
+    ).collect()[0]
+    n_docs, total = int(stats["n"]), int(stats["tot"])
+    avgdl_milli = max(1, total // n_docs) if n_docs else 1
+    dft = T.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        T.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dft), "term")
+        .join(DL, "doc_id")
+    )
+    expr = f"""
+      (( (1000 * {n_docs}) div df ) *
+       ( (1000000 * (_t * ({k1_micro} + 1000000))) div
+         (1000 * (1000 * _t +
+          ({k1_micro} * (1000000 - {b_micro} +
+            ({b_micro} * ((1000000 * _dl) div {avgdl_milli})) div 1000000)
+          ) div 1000000))
+       )) div 1000"""
+    per_doc = (
+        scored.withColumn("_s", F.expr(expr))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_s").alias("score_micro"))
+    )
+    return _topk(per_doc, F.col("score_micro"), k).select(
+        "query_id", "rank", "doc_id", "score_micro"
+    )

@@ -167,3 +167,110 @@ def test_tf_clamp_prevents_overflow(spark):
     huge = run(10_000_000)  # raw expr would exceed BIGINT
     capped = run(TF_CAP)
     assert huge == capped  # tf saturates at the clamp; nothing aborts
+
+
+def test_bm25f_single_field_equals_plain(spark):
+    """BM25F over one field at weight 1000 is IDENTICALLY plain BM25
+    micro — the (a*c) div (b*c) == a div b algebra in the docstring."""
+    from fog_spark.operators.index import bm25f_topk_micro
+
+    d = _docs_df(spark)
+    p, l = build_postings(d), doc_lengths(d)
+    f = bm25f_topk_micro([(p, l)], [1000], QUERIES, k=10).collect()
+    plain = bm25_topk_micro(d, QUERIES, k=10).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score_micro"])
+    assert sorted(map(key, f)) == sorted(map(key, plain))
+
+
+def _bm25f_replay(field_docs, weights, queries, k1=1_200_000, b=750_000):
+    """Pure-Python replay of bm25f_topk_micro: field_docs is a list of
+    {doc: tokens} maps aligned with weights (milli)."""
+    from fog_spark.operators.index import TFW_CAP_MILLI, tokenize_query
+
+    all_docs = set().union(*[set(fd) for fd in field_docs])
+    DL = {
+        d: sum(w * len(fd.get(d, [])) for fd, w in zip(field_docs, weights))
+        for d in all_docs
+    }
+    n = len(DL)
+    avg = max(1, sum(DL.values()) // n) if n else 1
+    out = {}
+    for qid, q in enumerate(queries):
+        scores = {}
+        for t in tokenize_query(q):
+            T = {}
+            for fd, w in zip(field_docs, weights):
+                for d, ts in fd.items():
+                    tf = ts.count(t)
+                    if tf:
+                        T[d] = T.get(d, 0) + w * tf
+            if not T:
+                continue
+            df = len(T)
+            for d, traw in T.items():
+                tt = min(traw, TFW_CAP_MILLI)
+                r = (1000000 * DL[d]) // avg
+                lnorm = 1000000 - b + (b * r) // 1000000
+                K = (k1 * lnorm) // 1000000
+                comp = (1000000 * (tt * (k1 + 1000000))) // (1000 * (1000 * tt + K))
+                idf = (1000 * n) // df
+                scores[d] = scores.get(d, 0) + (idf * comp) // 1000
+        out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+def test_bm25f_two_fields_match_replay(spark):
+    from fog_spark.operators.index import bm25f_topk_micro
+
+    body = {
+        "u1": "spark engine overview and internals".split(),
+        "u2": "cooking recipes and kitchen notes".split(),
+        "u3": "misc page".split(),
+    }
+    anchor = {
+        "u2": "spark spark tutorial".split(),  # anchors call u2 'spark'
+        "u3": "spark".split(),
+    }
+    weights = [1000, 2500]
+    queries = ["spark tutorial", "kitchen"]
+
+    def field_frames(fd):
+        p = spark.createDataFrame(
+            [(t, d, ts.count(t)) for d, ts in fd.items() for t in set(ts)],
+            "term string, doc_id string, tf long",
+        )
+        l = spark.createDataFrame(
+            [(d, len(ts)) for d, ts in fd.items()], "doc_id string, dl long"
+        )
+        return p, l
+
+    fields = [field_frames(body), field_frames(anchor)]
+    got_rows = bm25f_topk_micro(fields, weights, queries, k=10).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score_micro"]))
+    want = _bm25f_replay([body, anchor], weights, queries)
+    assert got == {qid: lst for qid, lst in want.items() if lst}
+    # the anchor-heavy page outranks the body-only page for 'spark tutorial'
+    assert got[0][0][0] == "u2"
+
+
+def test_anchor_field_from_links(spark):
+    from fog_spark.operators.index import anchor_field
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.test/", "http://t.test/x", "Spark tutorial", False),
+            ("http://b.test/", "http://t.test/x", "spark", False),
+            ("http://c.test/", "http://t.test/x", "ignored", True),  # nofollow
+            ("http://d.test/", "http://t.test/y", "   ", False),  # blank anchor
+        ],
+        "url string, dst_url string, anchor string, nofollow boolean",
+    )
+    p, l = anchor_field(links)
+    tf = {(r["term"], r["doc_id"]): r["tf"] for r in p.collect()}
+    assert tf == {
+        ("spark", "http://t.test/x"): 2,
+        ("tutorial", "http://t.test/x"): 1,
+    }
+    assert {r["doc_id"]: r["dl"] for r in l.collect()} == {"http://t.test/x": 3}

@@ -30,6 +30,7 @@ def crawl_frontier(
     per_host_cap: int | None = None,
     resolve: bool = True,
     robots_rules: DataFrame | None = None,
+    redirects: DataFrame | None = None,
 ) -> DataFrame:
     """(dst_url, host, n_refs, host_rank_milli) for every kept link
     target absent from the crawl. The priority order is
@@ -42,7 +43,14 @@ def crawl_frontier(
     (fixture pages); real HTML wants the default. ``robots_rules``: a
     (host, allow, prefix) frame from operators/robots.parse_robots —
     candidates a wildcard-agent rule disallows are removed BEFORE the
-    per-host cap, so a blocked url never displaces a fetchable one."""
+    per-host cap, so a blocked url never displaces a fetchable one.
+    ``redirects``: a (url, target) redirect/canonical map
+    (operators/redirects) — link targets AND crawled urls are rewritten
+    to their terminal before the anti-join, so an alias of an
+    already-crawled page never re-enters the queue and aliases of one
+    uncrawled page merge their n_refs instead of competing as separate
+    candidates. The resolved map stays cached for the frontier's lazy
+    consumers (redirect-map-sized)."""
     from fog_spark.algos import WeightedPageRankMilli
     from fog_spark.plans.engine import ScatterGatherEngine
 
@@ -67,6 +75,12 @@ def crawl_frontier(
         )
     else:
         crawled = pages.select(F.col("url").alias("dst_url"))
+    if redirects is not None:
+        from fog_spark.operators.redirects import resolve_redirects, rewrite_links
+
+        resolution = resolve_redirects(redirects)
+        links = rewrite_links(links, resolution, url_col="dst_url")
+        crawled = rewrite_links(crawled, resolution, url_col="dst_url")
     candidates = (
         links.join(crawled, "dst_url", "left_anti")
         .groupBy("dst_url")
@@ -133,6 +147,7 @@ def frontier_plan(
     per_host_cap: int | None = None,
     trap_min_urls: int | None = None,
     resolve: bool = True,
+    redirects: DataFrame | None = None,
 ) -> DataFrame:
     """The full fetch-queue plan a crawl scheduler runs, composed
     end-to-end from the pieces this package ships separately:
@@ -173,9 +188,12 @@ def frontier_plan(
             M = Materializer(pages.sparkSession)
         return M.checkpoint(df)
 
+    # ``redirects`` reaches only the link-candidate leg: sitemap seeds
+    # are fetched as the site declared them (their redirects are
+    # discovered at fetch time), so seed spellings stay untouched
     fr = crawl_frontier(
         pages, niters=niters, per_host_cap=per_host_cap,
-        resolve=resolve, robots_rules=robots_rules,
+        resolve=resolve, robots_rules=robots_rules, redirects=redirects,
     )
     plan = fr.select(
         F.col("dst_url").alias("url"), "host", "n_refs", "host_rank_milli",

@@ -198,3 +198,43 @@ def test_frontier_plan_composition(spark):
     assert not any("/cal?d=" in u for u in urls)
     without_cap = frontier_plan(tpages, niters=2, resolve=False)
     assert any("/cal?d=" in r["url"] for r in without_cap.collect())
+
+
+def test_frontier_redirect_collapse(spark):
+    """With a redirect map: an alias of a crawled page never re-enters
+    the queue, and aliases of one uncrawled page merge their n_refs."""
+    rows = [
+        (
+            "https://a.test/1",
+            # old.test/m redirects to the CRAWLED a.test/2 -> excluded;
+            # amp.new.test/x and new.test/x are aliases of the same
+            # uncrawled terminal -> one candidate, n_refs merged
+            '<html><body><a href="https://old.test/m">r</a>'
+            '<a href="https://amp.new.test/x">a1</a>'
+            '<a href="https://new.test/x">a2</a></body></html>',
+        ),
+        ("https://a.test/2", "<html><body>crawled target</body></html>"),
+    ]
+    redirects = spark.createDataFrame(
+        [
+            ("https://old.test/m", "https://a.test/2"),
+            ("https://amp.new.test/x", "https://new.test/x"),
+        ],
+        "url string, target string",
+    )
+    out = {
+        r["dst_url"]: r
+        for r in crawl_frontier(
+            _pages(spark, rows), niters=2, redirects=redirects
+        ).collect()
+    }
+    assert set(out) == {"https://new.test/x"}
+    assert out["https://new.test/x"]["n_refs"] == 2
+    # without the map, the alias and the redirect-to-crawled both queue
+    base = {
+        r["dst_url"]
+        for r in crawl_frontier(_pages(spark, rows), niters=2).collect()
+    }
+    assert base == {
+        "https://old.test/m", "https://amp.new.test/x", "https://new.test/x",
+    }

@@ -129,6 +129,46 @@ def parse_robots(
     ).select("host", "r.allow", "r.prefix")
 
 
+def sitemap_urls(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, sitemap_url) — ``Sitemap:`` directives from robots.txt
+    bodies, the standard sitemap DISCOVERY channel (sitemaps.org
+    protocol; RFC 9309 treats it as an "other record" living OUTSIDE
+    user-agent groups, so every crawler sees it regardless of agent).
+    Directive name is case-insensitive; values are absolute URLs and
+    pass through untouched (the protocol requires absolute; a relative
+    value is kept as-is for the caller to resolve or drop). Distinct
+    per (host, url) — repeated declarations collapse.
+
+    Composes the discovery chain end-to-end: ``sitemap_urls`` names
+    what to fetch, the fetched (sitemap_url, body) rows feed
+    operators/sitemaps.parse_sitemaps, whose url rows feed
+    sitemap_frontier_seeds. Same per-row line-fold shape as
+    parse_robots; one distinct shuffle on host-sized rows."""
+    lines = F.transform(
+        F.split(F.col(body_col), r"\r?\n"),
+        lambda ln: F.trim(F.regexp_replace(ln, r"#.*$", "")),
+    )
+    urls = F.filter(
+        F.transform(
+            lines,
+            lambda ln: F.when(
+                F.lower(F.trim(F.regexp_extract(ln, r"^([^:]+):", 1)))
+                == "sitemap",
+                F.trim(F.regexp_extract(ln, r"^[^:]+:(.*)$", 1)),
+            ).otherwise(F.lit("")),
+        ),
+        lambda v: v != "",
+    )
+    return (
+        robots.select(
+            F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
+        )
+        .distinct()
+    )
+
+
 def _pct_normalize(s: Column) -> Column:
     """RFC 9309 §2.2.2 percent-encoding normalization, pure Column math:
     each valid ``%XX`` triplet either decodes (unreserved octets:

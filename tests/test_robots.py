@@ -264,3 +264,30 @@ def test_crawl_frontier_respects_robots(spark, rules):
     kept = {r["dst_url"] for r in filt.collect()}
     assert url not in kept
     assert kept == {r["dst_url"] for r in base.collect()} - {url}
+
+
+def test_sitemap_urls_discovery(spark):
+    """Sitemap: directives are cross-group, case-insensitive, repeated
+    declarations collapse, comments strip, non-directive lines ignored."""
+    from fog_spark.operators.robots import sitemap_urls
+
+    body = "\r\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /private/",
+            "sitemap: https://h.test/sitemap.xml  # comment",
+            "User-agent: fetchbot",
+            "Allow: /",
+            "SITEMAP: https://h.test/news-sitemap.xml",
+            "Sitemap: https://h.test/sitemap.xml",  # duplicate
+            "random junk line",
+        ]
+    )
+    robots = spark.createDataFrame([("h.test", body)], "host string, body string")
+    got = {
+        (r["host"], r["sitemap_url"]) for r in sitemap_urls(robots).collect()
+    }
+    assert got == {
+        ("h.test", "https://h.test/sitemap.xml"),
+        ("h.test", "https://h.test/news-sitemap.xml"),
+    }

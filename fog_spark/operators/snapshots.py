@@ -132,3 +132,54 @@ def edge_delta_stats(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
             / F.greatest(F.col("n_removed") + F.col("n_unchanged"), F.lit(1))
         ).alias("churn"),
     )
+
+
+def recrawl_schedule(
+    change_stats: DataFrame,
+    min_hours: float = 1.0,
+    max_hours: float = 24.0 * 30,
+    default_hours: float = 24.0 * 7,
+) -> DataFrame:
+    """(url, lambda_per_day, recrawl_hours) — per-url revisit intervals
+    from capture history, the Cho & Garcia-Molina estimator (TOIT 2003,
+    "Estimating frequency of change"): with n = n_captures - 1 observed
+    intervals and X = n_versions - 1 detected changes, the bias-corrected
+    change rate per interval is r = -ln((n - X + 0.5) / (n + 0.5));
+    divided by the mean capture interval it becomes a Poisson rate
+    lambda, and the uniform revisit policy fetches at interval 1/lambda
+    (clamped to [min_hours, max_hours]). Single-capture urls (nothing
+    observed) get ``default_hours``; never-changed urls get
+    ``max_hours``. Float scores pinned by a pure-Python replay (same
+    precedent as betweenness_sampled: ln is order-independent here, one
+    value per row, so no gate slot is claimed).
+
+    This closes the snapshots chain: page_change_stats measures, this
+    schedules, crawl_frontier fetches. One row per url, pure Column
+    math over the stats frame — no shuffle at all."""
+    n = F.col("n_captures") - 1
+    x = F.col("n_versions") - 1
+    span_s = (
+        F.col("last_ts").cast("double") - F.col("first_ts").cast("double")
+    )
+    # mean capture interval; guard zero spans (all captures same instant)
+    avg_s = F.when(n > 0, span_s / n).otherwise(F.lit(None))
+    r = -F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5)))
+    lam_day = F.when(
+        (n > 0) & (avg_s > 0), r / avg_s * F.lit(86400.0)
+    ).otherwise(F.lit(None))
+    ideal_h = F.when(lam_day > 0, F.lit(24.0) / lam_day)
+    hours = (
+        F.when(n <= 0, F.lit(float(default_hours)))
+        .when(lam_day.isNull() | (lam_day <= 0), F.lit(float(max_hours)))
+        .otherwise(
+            F.least(
+                F.greatest(ideal_h, F.lit(float(min_hours))),
+                F.lit(float(max_hours)),
+            )
+        )
+    )
+    return change_stats.select(
+        "url",
+        lam_day.alias("lambda_per_day"),
+        hours.alias("recrawl_hours"),
+    )

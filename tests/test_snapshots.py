@@ -189,3 +189,54 @@ def test_edge_delta_feeds_warm_refresh(spark):
     got_w = {r["id"]: r["rank"] for r in warm.state.collect()}
     got_c = {r["id"]: r["rank"] for r in cold.state.collect()}
     assert all(abs(got_w[i] - got_c[i]) < 1e-7 for i in got_w)
+
+
+def test_recrawl_schedule_estimator(spark):
+    """Cho & Garcia-Molina rate estimator + clamped revisit intervals vs
+    a pure-Python replay; single-capture and never-changed edges."""
+    import math
+
+    from fog_spark.operators.snapshots import page_change_stats, recrawl_schedule
+
+    day = 86400
+    rows = []
+    # hot.test: 5 captures a day apart, changes every time
+    for i in range(5):
+        rows.append(("https://hot.test/", 1704067200 + i * day, f"v{i}"))
+    # slow.test: 5 captures a day apart, one change
+    for i in range(5):
+        rows.append(("https://slow.test/", 1704067200 + i * day, "a" if i < 3 else "b"))
+    # static.test: never changes
+    for i in range(4):
+        rows.append(("https://static.test/", 1704067200 + i * day, "same"))
+    # once.test: single capture
+    rows.append(("https://once.test/", 1704067200, "only"))
+    pages = spark.createDataFrame(
+        [(u, t, x) for u, t, x in rows], "url string, ts long, text string"
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "text")
+    out = {
+        r["url"]: r
+        for r in recrawl_schedule(page_change_stats(pages)).collect()
+    }
+
+    def replay(n_caps, n_vers, span_days):
+        n, x = n_caps - 1, n_vers - 1
+        r = -math.log((n - x + 0.5) / (n + 0.5))
+        lam = r / (span_days / n)  # per day (avg interval in days)
+        return lam, min(max(24.0 / lam, 1.0), 24.0 * 30)
+
+    lam, hrs = replay(5, 5, 4)
+    assert abs(out["https://hot.test/"]["lambda_per_day"] - lam) < 1e-12
+    assert abs(out["https://hot.test/"]["recrawl_hours"] - hrs) < 1e-9
+    lam, hrs = replay(5, 2, 4)
+    assert abs(out["https://slow.test/"]["lambda_per_day"] - lam) < 1e-12
+    assert abs(out["https://slow.test/"]["recrawl_hours"] - hrs) < 1e-9
+    # a page that changes every capture revisits far sooner than a slow one
+    assert (
+        out["https://hot.test/"]["recrawl_hours"]
+        < out["https://slow.test/"]["recrawl_hours"]
+    )
+    # never changed -> rate 0, max interval; single capture -> default
+    assert out["https://static.test/"]["lambda_per_day"] == 0.0
+    assert out["https://static.test/"]["recrawl_hours"] == 24.0 * 30
+    assert out["https://once.test/"]["recrawl_hours"] == 24.0 * 7

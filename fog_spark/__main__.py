@@ -66,6 +66,8 @@ ALGOS = (
     "census",
     "resolve-redirects",
     "bm25",
+    "frontier-plan",
+    "recrawl-schedule",
 )
 
 
@@ -147,6 +149,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--node2vec-q", type=float, default=1.0)
     p.add_argument("--redirect-max-hops", type=int, default=16,
                    help="resolve-redirects: chain-length cap (power of two)")
+    p.add_argument("--robots", default=None,
+                   help="frontier algos: parquet of (host, body) robots.txt rows")
+    p.add_argument("--sitemaps", default=None,
+                   help="frontier-plan: parquet of (sitemap_url, body) rows")
+    p.add_argument("--redirects", default=None,
+                   help="frontier algos: parquet of (url, target) redirect map "
+                        "— aliases collapse before the crawled anti-join")
+    p.add_argument("--trap-min-urls", type=int, default=None,
+                   help="frontier-plan: flag URL templates with this many "
+                        "distinct candidates as crawler traps")
     p.add_argument("--query", action="append", default=None,
                    help="bm25: keyword query (repeatable; one result set per query)")
     p.add_argument("--topk", type=int, default=10,
@@ -265,20 +277,58 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         pages = _load_pages(spark, args)
         return anchor_text_rollup(pages, k=args.anchor_topk)
 
-    if args.algo == "crawl-frontier":
-        # pages -> (uncrawled url, host, inlink count, host rank):
-        # the prioritized fetch queue (operators/crawl.py)
-        from fog_spark.operators.crawl import crawl_frontier
+    if args.algo in ("crawl-frontier", "frontier-plan"):
+        # pages -> the prioritized fetch queue (operators/crawl.py);
+        # frontier-plan composes robots + sitemap seeds + trap
+        # subtraction end-to-end
+        from fog_spark.operators.crawl import crawl_frontier, frontier_plan
 
         if args.format not in ("pages", "warc", "warc-split"):
-            raise SystemExit("--algo crawl-frontier requires --format pages|warc|warc-split")
+            raise SystemExit(
+                f"--algo {args.algo} requires --format pages|warc|warc-split"
+            )
         pages = _load_pages(spark, args)
-        return crawl_frontier(
+        rules = None
+        if args.robots:
+            from fog_spark.operators.robots import parse_robots
+
+            rules = parse_robots(spark.read.parquet(args.robots))
+        redirects = spark.read.parquet(args.redirects) if args.redirects else None
+        if args.algo == "crawl-frontier":
+            return crawl_frontier(
+                pages,
+                niters=args.pagerank_niters,
+                per_host_cap=args.frontier_cap,
+                resolve=args.resolve_links,
+                robots_rules=rules,
+                redirects=redirects,
+            )
+        sitemaps = spark.read.parquet(args.sitemaps) if args.sitemaps else None
+        return frontier_plan(
             pages,
+            robots_rules=rules,
+            sitemaps=sitemaps,
             niters=args.pagerank_niters,
             per_host_cap=args.frontier_cap,
+            trap_min_urls=args.trap_min_urls,
             resolve=args.resolve_links,
+            redirects=redirects,
         )
+
+    if args.algo == "recrawl-schedule":
+        # multi-capture pages -> per-url revisit intervals
+        from fog_spark.operators.snapshots import page_change_stats, recrawl_schedule
+
+        if args.format not in ("pages", "warc", "warc-split"):
+            raise SystemExit(
+                "--algo recrawl-schedule requires --format pages|warc|warc-split"
+            )
+        if args.collapse_snapshots:
+            raise SystemExit(
+                "--algo recrawl-schedule needs the FULL capture history; "
+                "drop --collapse-snapshots"
+            )
+        return recrawl_schedule(page_change_stats(_load_pages(spark, args)))
 
     if args.algo == "resolve-redirects":
         # redirect/canonical alias collapse (operators/redirects.py):

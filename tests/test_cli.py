@@ -192,3 +192,55 @@ def test_cli_redirect_max_hops_guard(spark, tmp_path):
              "--redirect-max-hops", "20"],
             spark=spark,
         )
+
+
+def test_cli_frontier_plan_and_recrawl(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    pages_pq = tmp_path / "pages_pq"
+    spark.createDataFrame(
+        [
+            (
+                "https://a.test/1",
+                '<html><a href="https://new.test/x">n</a>'
+                '<a href="https://new.test/blocked/y">b</a></html>',
+            ),
+        ],
+        "url string, html_s string",
+    ).select(
+        "url", F.encode("html_s", "UTF-8").alias("html")
+    ).write.mode("overwrite").parquet(str(pages_pq))
+    robots_pq = tmp_path / "robots_pq"
+    spark.createDataFrame(
+        [("new.test", "User-agent: *\nDisallow: /blocked/")],
+        "host string, body string",
+    ).write.mode("overwrite").parquet(str(robots_pq))
+    out = tmp_path / "plan_out"
+    assert main(
+        ["--algo", "frontier-plan", "--edges", str(pages_pq), "--format", "pages",
+         "--robots", str(robots_pq), "--pagerank-niters", "2",
+         "--output", str(out)],
+        spark=spark,
+    ) == 0
+    urls = {r["url"] for r in spark.read.parquet(str(out)).collect()}
+    assert urls == {"https://new.test/x"}  # blocked candidate filtered
+
+    # recrawl-schedule over a two-capture history
+    hist_pq = tmp_path / "hist_pq"
+    spark.createDataFrame(
+        [
+            ("https://a.test/1", 1704067200, "v1"),
+            ("https://a.test/1", 1704153600, "v2"),
+        ],
+        "url string, ts long, text string",
+    ).select(
+        "url", F.timestamp_seconds("ts").alias("warc_ts"), "text"
+    ).write.mode("overwrite").parquet(str(hist_pq))
+    rout = tmp_path / "recrawl_out"
+    assert main(
+        ["--algo", "recrawl-schedule", "--edges", str(hist_pq),
+         "--format", "pages", "--output", str(rout)],
+        spark=spark,
+    ) == 0
+    rows = spark.read.parquet(str(rout)).collect()
+    assert len(rows) == 1 and rows[0]["recrawl_hours"] >= 1.0

@@ -214,6 +214,23 @@ def _die(msg: str) -> str:
     raise SystemExit(msg)
 
 
+def _check_max_hops(h: int) -> None:
+    if h < 1 or (h & (h - 1)) != 0:
+        raise SystemExit(
+            f"--redirect-max-hops must be a power of two, got {h} "
+            "(hop exactness of the doubling depends on it)"
+        )
+
+
+def _require_cols(df: DataFrame, cols: tuple[str, ...], what: str) -> None:
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise SystemExit(
+            f"{what} needs columns {cols}; missing {missing} "
+            f"(found: {df.columns})"
+        )
+
+
 def _load_pages(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
     if args.format == "warc":
         from fog_spark.sources.warc import read_warc
@@ -292,8 +309,14 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         if args.robots:
             from fog_spark.operators.robots import parse_robots
 
-            rules = parse_robots(spark.read.parquet(args.robots))
-        redirects = spark.read.parquet(args.redirects) if args.redirects else None
+            robots_df = spark.read.parquet(args.robots)
+            _require_cols(robots_df, ("host", "body"), "--robots input")
+            rules = parse_robots(robots_df)
+        redirects = None
+        if args.redirects:
+            _check_max_hops(args.redirect_max_hops)
+            redirects = spark.read.parquet(args.redirects)
+            _require_cols(redirects, ("url", "target"), "--redirects input")
         if args.algo == "crawl-frontier":
             return crawl_frontier(
                 pages,
@@ -302,8 +325,12 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
                 resolve=args.resolve_links,
                 robots_rules=rules,
                 redirects=redirects,
+                redirect_max_hops=args.redirect_max_hops,
             )
-        sitemaps = spark.read.parquet(args.sitemaps) if args.sitemaps else None
+        sitemaps = None
+        if args.sitemaps:
+            sitemaps = spark.read.parquet(args.sitemaps)
+            _require_cols(sitemaps, ("sitemap_url", "body"), "--sitemaps input")
         return frontier_plan(
             pages,
             robots_rules=rules,
@@ -313,6 +340,7 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
             trap_min_urls=args.trap_min_urls,
             resolve=args.resolve_links,
             redirects=redirects,
+            redirect_max_hops=args.redirect_max_hops,
         )
 
     if args.algo == "recrawl-schedule":
@@ -336,20 +364,12 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
         # is a (url, target) redirect table (e.g. from 3xx records)
         from fog_spark.operators.redirects import canonical_edges, resolve_redirects
 
-        h = args.redirect_max_hops
-        if h < 1 or (h & (h - 1)) != 0:
-            raise SystemExit(
-                f"--redirect-max-hops must be a power of two, got {h} "
-                "(hop exactness of the doubling depends on it)"
-            )
+        _check_max_hops(args.redirect_max_hops)
         if args.format in ("pages", "warc", "warc-split"):
             rmap = canonical_edges(_load_pages(spark, args))
         else:
             rmap = spark.read.parquet(args.edges)
-            if "url" not in rmap.columns or "target" not in rmap.columns:
-                raise SystemExit(
-                    "--algo resolve-redirects parquet input needs (url, target) columns"
-                )
+            _require_cols(rmap, ("url", "target"), "--algo resolve-redirects input")
         return resolve_redirects(rmap, max_hops=args.redirect_max_hops)
 
     if args.algo == "bm25":

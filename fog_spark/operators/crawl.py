@@ -31,6 +31,7 @@ def crawl_frontier(
     resolve: bool = True,
     robots_rules: DataFrame | None = None,
     redirects: DataFrame | None = None,
+    redirect_max_hops: int = 16,
 ) -> DataFrame:
     """(dst_url, host, n_refs, host_rank_milli) for every kept link
     target absent from the crawl. The priority order is
@@ -78,7 +79,7 @@ def crawl_frontier(
     if redirects is not None:
         from fog_spark.operators.redirects import resolve_redirects, rewrite_links
 
-        resolution = resolve_redirects(redirects)
+        resolution = resolve_redirects(redirects, max_hops=redirect_max_hops)
         links = rewrite_links(links, resolution, url_col="dst_url")
         crawled = rewrite_links(crawled, resolution, url_col="dst_url")
     candidates = (
@@ -148,6 +149,7 @@ def frontier_plan(
     trap_min_urls: int | None = None,
     resolve: bool = True,
     redirects: DataFrame | None = None,
+    redirect_max_hops: int = 16,
 ) -> DataFrame:
     """The full fetch-queue plan a crawl scheduler runs, composed
     end-to-end from the pieces this package ships separately:
@@ -194,6 +196,7 @@ def frontier_plan(
     fr = crawl_frontier(
         pages, niters=niters, per_host_cap=per_host_cap,
         resolve=resolve, robots_rules=robots_rules, redirects=redirects,
+        redirect_max_hops=redirect_max_hops,
     )
     plan = fr.select(
         F.col("dst_url").alias("url"), "host", "n_refs", "host_rank_milli",

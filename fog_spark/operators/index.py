@@ -87,6 +87,17 @@ def doc_lengths(
     )
 
 
+def _query_frames(spark, queries):
+    """(qdf, terms): the (query_id, term) table and its distinct-term
+    projection — shared by every scorer so tokenization and the
+    broadcast-semi-join shape can never diverge between them."""
+    q_rows = [
+        (qid, t) for qid, q in enumerate(queries) for t in tokenize_query(q)
+    ]
+    qdf = spark.createDataFrame(q_rows, "query_id long, term string")
+    return qdf, qdf.select("term").distinct()
+
+
 def _scored_postings(docs, queries, text_col, id_col, postings=None, lengths=None):
     """Common front half: postings filtered to query terms, joined with
     df, dl and the query term table. Returns (frame, n_docs, avgdl_milli).
@@ -96,11 +107,8 @@ def _scored_postings(docs, queries, text_col, id_col, postings=None, lengths=Non
     path re-tokenizes the corpus for postings, lengths and the length
     stats (~3 scans), which is fine for one-shot scoring but not for a
     query service over 100 TB; build once, query many."""
-    q_rows = [
-        (qid, t) for qid, q in enumerate(queries) for t in tokenize_query(q)
-    ]
     spark = docs.sparkSession
-    qdf = spark.createDataFrame(q_rows, "query_id long, term string")
+    qdf, terms = _query_frames(spark, queries)
     p = postings if postings is not None else build_postings(docs, text_col, id_col)
     dl = lengths if lengths is not None else doc_lengths(docs, text_col, id_col)
     stats = dl.agg(
@@ -111,7 +119,6 @@ def _scored_postings(docs, queries, text_col, id_col, postings=None, lengths=Non
     avgdl_milli = max(1, (1000 * total) // n_docs) if n_docs else 1000
     # df over query terms only: one broadcast semi-join, then a term agg
     # on the filtered (already per-(term,doc)-unique) postings
-    terms = qdf.select("term").distinct()
     fp = p.join(F.broadcast(terms), "term", "left_semi")
     dft = fp.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
@@ -227,12 +234,16 @@ def bm25_topk(
 # ------------------------------------------------------------- BM25F
 
 # weighted-tf clamp (milli units): keeps the BM25F expression inside
-# BIGINT under ANSI the same way TF_CAP does for plain BM25 — the tf
-# saturation is within div rounding of its asymptote long before this
-TFW_CAP_MILLI = 1_000_000
+# BIGINT under ANSI the same way TF_CAP does for plain BM25. 1000x
+# TF_CAP so a single field at weight 1000 clamps at EXACTLY the same
+# effective tf as the plain scorer — the identity contract covers the
+# whole tf range, clamp included.
+TFW_CAP_MILLI = 1000 * TF_CAP
 
 
-def anchor_field(links: DataFrame, follow_only: bool = True) -> DataFrame:
+def anchor_field(
+    links: DataFrame, follow_only: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """(doc_id, tf) postings + (doc_id, dl) lengths for the ANCHOR-TEXT
     field of each linked-to URL, from a page_links-shaped frame
     (url, dst_url, anchor[, nofollow]) — the classic relevance signal:
@@ -269,29 +280,34 @@ def bm25f_topk_micro(
     document length likewise (DL_milli = sum_f w_f_milli * dl_f), then
     the plain-BM25 integer pipeline runs on the milli-valued tf:
 
-      component_micro = (1e6 * T * (k1+1e6)) div (1e3 * (1e3*T + K_micro))
+      component_micro = (1000 * T * (k1+1e6)) div (1000*T + K_micro)
 
-    which for a single field at weight 1000 is IDENTICALLY plain
-    bm25_topk_micro (numerator and denominator share the exact factor
-    1000, and (a*c) div (b*c) == a div b for positive ints — pinned by
-    test). idf uses the combined df (docs holding the term in ANY
-    field). ``fields`` is a list of (postings, lengths) with a shared
-    doc_id type (long ids or url strings); a doc missing from a field's
-    frames contributes 0 for that field. T clamps at TFW_CAP_MILLI
-    (ANSI overflow guard, same reasoning as TF_CAP).
+    (the naive form (1e6*T*A) div (1e3*(1e3*T+K)) shares the exact
+    factor 1000 between numerator and denominator, and (a*c) div (b*c)
+    == a div b for positive ints, so the reduced form above is equal
+    AND keeps T up to TFW_CAP_MILLI inside BIGINT). For a single field
+    at weight 1000 this is IDENTICALLY plain bm25_topk_micro over the
+    ENTIRE tf range — T = 1000*tf clamps at TFW_CAP_MILLI exactly when
+    tf clamps at TF_CAP (pinned by test, including a beyond-1000 tf).
+    idf uses the combined df (docs holding the term in ANY field).
+    ``fields`` is a list of (postings, lengths) with a shared doc_id
+    type (long ids or url strings); a doc missing from a field's frames
+    contributes 0 for that field.
     """
     if len(fields) != len(weights_milli) or not fields:
         raise ValueError("fields and weights_milli must align and be non-empty")
-    q_rows = [(qid, t) for qid, q in enumerate(queries) for t in tokenize_query(q)]
     spark = fields[0][0].sparkSession
-    qdf = spark.createDataFrame(q_rows, "query_id long, term string")
-    terms = qdf.select("term").distinct()
+    qdf, terms = _query_frames(spark, queries)
     # combined weighted postings over query terms only
     wp = None
     wl = None
     for (p, l), w in zip(fields, weights_milli):
+        # per-field clamp BEFORE weighting: tf*w itself must stay inside
+        # BIGINT whatever the input claims; the combined T clamps again
         fp = p.join(F.broadcast(terms), "term", "left_semi").select(
-            "term", "doc_id", (F.col("tf") * F.lit(int(w))).alias("_tfw")
+            "term",
+            "doc_id",
+            (F.least(F.col("tf"), F.lit(TF_CAP)) * F.lit(int(w))).alias("_tfw"),
         )
         fl = l.select("doc_id", (F.col("dl") * F.lit(int(w))).alias("_dlw"))
         wp = fp if wp is None else wp.unionByName(fp)
@@ -316,11 +332,11 @@ def bm25f_topk_micro(
     )
     expr = f"""
       (( (1000 * {n_docs}) div df ) *
-       ( (1000000 * (_t * ({k1_micro} + 1000000))) div
-         (1000 * (1000 * _t +
+       ( (1000 * (_t * ({k1_micro} + 1000000))) div
+         (1000 * _t +
           ({k1_micro} * (1000000 - {b_micro} +
             ({b_micro} * ((1000000 * _dl) div {avgdl_milli})) div 1000000)
-          ) div 1000000))
+          ) div 1000000)
        )) div 1000"""
     per_doc = (
         scored.withColumn("_s", F.expr(expr))

@@ -7,10 +7,12 @@ capture history itself is the input to recrawl scheduling (Cho &
 Garcia-Molina, "Synchronizing a database to improve freshness", 2000:
 refresh frequency should track observed change frequency).
 
-Scale shape: both operators are ONE hash aggregation keyed by url with
-map-side partial aggregation — ``max_by`` keeps a single struct per
-group (no window, no sort), and the change stats are count/min/max plus
-one exact distinct (two-level agg). No joins, no collects.
+Scale shape: snapshot collapse is ONE hash aggregation keyed by url
+with map-side partial aggregation — ``max_by`` keeps a single struct
+per group (no window, no sort). The change stats additionally need
+capture ORDER for the transition count, so they are one bounded-
+partition window (url × its few captures) feeding one hash
+aggregation. No joins, no collects.
 """
 
 from __future__ import annotations
@@ -41,23 +43,44 @@ def latest_snapshots(pages: DataFrame) -> DataFrame:
 
 def page_change_stats(pages: DataFrame) -> DataFrame:
     """Per-url capture history summary for recrawl scheduling:
-    ``(url, n_captures, n_versions, first_ts, last_ts, change_ratio)``
-    where ``n_versions`` counts distinct text contents (md5) and
-    ``change_ratio = (n_versions - 1) / greatest(n_captures - 1, 1)`` —
-    0.0 for a page that never changed across captures, 1.0 for one that
-    changed every time. Single-capture urls get ratio 0.0."""
+    ``(url, n_captures, n_versions, n_changes, first_ts, last_ts,
+    change_ratio)`` where ``n_versions`` counts DISTINCT text contents
+    (md5), ``n_changes`` counts consecutive-capture TRANSITIONS whose
+    content differs (the Cho & Garcia-Molina "X": an oscillating
+    A,B,A,B history has 2 versions but a change in every interval —
+    distinct-count undercounts it), and ``change_ratio = n_changes /
+    greatest(n_captures - 1, 1)`` — 0.0 for a page that never changed,
+    1.0 for one that changed every capture. Single-capture urls get
+    ratio 0.0.
+
+    Shape note: the transition count needs capture order, so this is
+    one window (partition url, order warc_ts + content-hash tie-break;
+    per-url partitions are capture-history-sized, bounded) feeding one
+    hash aggregation."""
+    from pyspark.sql.window import Window
+
     # NULL text (failed extraction) counts as its own version: coalesce
     # before hashing, or count_distinct drops the rows and the ratio
     # can go negative on all-NULL histories
     vh = F.md5(F.coalesce(F.col("text"), F.lit("\0null\0")).cast("binary"))
-    return pages.groupBy("url").agg(
-        F.count("*").alias("n_captures"),
-        F.count_distinct(vh).alias("n_versions"),
-        F.min("warc_ts").alias("first_ts"),
-        F.max("warc_ts").alias("last_ts"),
-        (
-            (F.count_distinct(vh) - 1) / F.greatest(F.count("*") - 1, F.lit(1))
-        ).alias("change_ratio"),
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts"), vh)
+    changed = (
+        F.lag(vh).over(w).isNotNull() & (vh != F.lag(vh).over(w))
+    ).cast("long")
+    return (
+        pages.withColumn("_vh", vh)
+        .withColumn("_chg", changed)
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.count_distinct(F.col("_vh")).alias("n_versions"),
+            F.sum("_chg").alias("n_changes"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+            (
+                F.sum("_chg") / F.greatest(F.count("*") - 1, F.lit(1))
+            ).alias("change_ratio"),
+        )
     )
 
 
@@ -143,7 +166,9 @@ def recrawl_schedule(
     """(url, lambda_per_day, recrawl_hours) — per-url revisit intervals
     from capture history, the Cho & Garcia-Molina estimator (TOIT 2003,
     "Estimating frequency of change"): with n = n_captures - 1 observed
-    intervals and X = n_versions - 1 detected changes, the bias-corrected
+    intervals and X = n_changes detected changes (per-interval
+    transitions, NOT distinct versions — an oscillating A,B,A,B page
+    changes every interval), the bias-corrected
     change rate per interval is r = -ln((n - X + 0.5) / (n + 0.5));
     divided by the mean capture interval it becomes a Poisson rate
     lambda, and the uniform revisit policy fetches at interval 1/lambda
@@ -157,7 +182,7 @@ def recrawl_schedule(
     schedules, crawl_frontier fetches. One row per url, pure Column
     math over the stats frame — no shuffle at all."""
     n = F.col("n_captures") - 1
-    x = F.col("n_versions") - 1
+    x = F.col("n_changes")
     span_s = (
         F.col("last_ts").cast("double") - F.col("first_ts").cast("double")
     )

@@ -180,6 +180,18 @@ def test_bm25f_single_field_equals_plain(spark):
     plain = bm25_topk_micro(d, QUERIES, k=10).collect()
     key = lambda r: (r["query_id"], r["rank"], r["doc_id"], r["score_micro"])
     assert sorted(map(key, f)) == sorted(map(key, plain))
+    # the identity must hold BEYOND tf=1000 too (the review caught a
+    # clamp that bound 1000x too early): prebuilt postings with tf=5000
+    hp = spark.createDataFrame(
+        [("spark", 0, 5000), ("spark", 1, 1)], "term string, doc_id long, tf long"
+    )
+    hl = spark.createDataFrame([(0, 6000), (1, 5)], "doc_id long, dl long")
+    docs2 = spark.createDataFrame([(0, ""), (1, "")], "doc_id long, text string")
+    f2 = bm25f_topk_micro([(hp, hl)], [1000], ["spark"], k=10).collect()
+    plain2 = bm25_topk_micro(
+        docs2, ["spark"], k=10, postings=hp, lengths=hl
+    ).collect()
+    assert sorted(map(key, f2)) == sorted(map(key, plain2))
 
 
 def _bm25f_replay(field_docs, weights, queries, k1=1_200_000, b=750_000):
@@ -212,7 +224,7 @@ def _bm25f_replay(field_docs, weights, queries, k1=1_200_000, b=750_000):
                 r = (1000000 * DL[d]) // avg
                 lnorm = 1000000 - b + (b * r) // 1000000
                 K = (k1 * lnorm) // 1000000
-                comp = (1000000 * (tt * (k1 + 1000000))) // (1000 * (1000 * tt + K))
+                comp = (1000 * (tt * (k1 + 1000000))) // (1000 * tt + K)
                 idf = (1000 * n) // df
                 scores[d] = scores.get(d, 0) + (idf * comp) // 1000
         out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))

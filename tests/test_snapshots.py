@@ -240,3 +240,23 @@ def test_recrawl_schedule_estimator(spark):
     assert out["https://static.test/"]["lambda_per_day"] == 0.0
     assert out["https://static.test/"]["recrawl_hours"] == 24.0 * 30
     assert out["https://once.test/"]["recrawl_hours"] == 24.0 * 7
+
+
+def test_change_stats_oscillation_counts_transitions(spark):
+    """A,B,A,B,A: 2 distinct versions but a change EVERY interval — the
+    transition count (Cho & G-M's X) must see all 4 (review finding)."""
+    import math
+
+    from fog_spark.operators.snapshots import page_change_stats, recrawl_schedule
+
+    day = 86400
+    rows = [("https://osc.test/", 1704067200 + i * day, "AB"[i % 2]) for i in range(5)]
+    pages = spark.createDataFrame(
+        rows, "url string, ts long, text string"
+    ).select("url", F.timestamp_seconds("ts").alias("warc_ts"), "text")
+    st = page_change_stats(pages).collect()[0]
+    assert st["n_versions"] == 2 and st["n_changes"] == 4
+    assert abs(st["change_ratio"] - 1.0) < 1e-12
+    out = recrawl_schedule(page_change_stats(pages)).collect()[0]
+    lam = -math.log(0.5 / 4.5)  # X == n: fastest-change estimate
+    assert abs(out["lambda_per_day"] - lam) < 1e-12

@@ -180,7 +180,7 @@ def bm25_topk_micro(
         docs, queries, text_col, id_col, postings, lengths
     )
     expr = f"""
-      (( (1000 * {n_docs}) div df ) *
+      (( {1000 * n_docs} div df ) *
        ( (1000000 * (_tfc * ({k1_micro} + 1000000))) div
          (1000000 * _tfc +
           ({k1_micro} * (1000000 - {b_micro} +
@@ -331,7 +331,7 @@ def bm25f_topk_micro(
         .join(DL, "doc_id")
     )
     expr = f"""
-      (( (1000 * {n_docs}) div df ) *
+      (( {1000 * n_docs} div df ) *
        ( (1000 * (_t * ({k1_micro} + 1000000))) div
          (1000 * _t +
           ({k1_micro} * (1000000 - {b_micro} +

@@ -286,3 +286,23 @@ def test_anchor_field_from_links(spark):
         ("tutorial", "http://t.test/x"): 1,
     }
     assert {r["doc_id"]: r["dl"] for r in l.collect()} == {"http://t.test/x": 3}
+
+
+def test_idf_literal_survives_large_corpus(spark):
+    """1000 * n_docs with n_docs > ~2.1M overflowed INT under ANSI when
+    folded as int*int (found by tools/index_scale_probe at 4M docs) —
+    the numerator is now a precomputed BIGINT literal."""
+    from pyspark.sql import functions as F
+
+    n = 4_000_000
+    lengths = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(10).cast("long").alias("dl")
+    )
+    postings = spark.createDataFrame(
+        [("alpha", 0, 3), ("alpha", 1, 1)], "term string, doc_id long, tf long"
+    )
+    docs = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    rows = bm25_topk_micro(
+        docs, ["alpha"], k=5, postings=postings, lengths=lengths
+    ).collect()
+    assert len(rows) == 2 and rows[0]["doc_id"] == 0

@@ -283,3 +283,51 @@ def trap_candidates(
         .agg(F.count("*").alias("n_urls"), F.min("_u").alias("sample_url"))
     )
     return per.where(F.col("n_urls") >= min_urls)
+
+
+def schedule_fetches(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay_s: float = 1.0,
+    url_col: str = "dst_url",
+) -> DataFrame:
+    """(url, host, fetch_offset_ms) — turn a ranked frontier into a
+    dispatchable per-host fetch timeline: the i-th url of a host (under
+    the frontier's priority order: host_rank_milli desc, n_refs desc,
+    url asc) fetches at offset ``i * delay`` so no host is hit faster
+    than its ``Crawl-delay`` (operators/robots.crawl_delays; hosts
+    absent from ``delays`` use ``default_delay_s``). Offsets are exact
+    integer milliseconds (delay rounds to ms once), so the timeline is
+    engine-independent and a dispatcher can shard it by offset range.
+
+    Shape: one broadcast join (delays is host-sized) + one window per
+    host. The window sorts each host's candidates in one task — run it
+    AFTER crawl_frontier's per_host_cap (or frontier_plan), which
+    bounds every host to a constant number of rows; an uncapped
+    mega-host would hot-spot here exactly like the cap window itself.
+    """
+    cols = frontier.columns
+    order = [
+        F.col(c).desc() for c in ("host_rank_milli", "n_refs") if c in cols
+    ] + [F.col(url_col).asc()]
+    f = frontier
+    if delays is not None:
+        d = delays.select(
+            F.col("host").alias("_dh"),
+            F.round(F.col("delay_s") * 1000).cast("long").alias("_dms"),
+        )
+        f = f.join(F.broadcast(d), f["host"] == d["_dh"], "left").drop("_dh")
+    else:
+        f = f.withColumn("_dms", F.lit(None).cast("long"))
+    delay_ms = F.coalesce(
+        F.col("_dms"), F.lit(int(round(default_delay_s * 1000)))
+    )
+    w = Window.partitionBy("host").orderBy(*order)
+    return (
+        f.withColumn("_rn", F.row_number().over(w))
+        .select(
+            F.col(url_col).alias("url"),
+            "host",
+            ((F.col("_rn") - 1) * delay_ms).alias("fetch_offset_ms"),
+        )
+    )

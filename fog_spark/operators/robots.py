@@ -266,3 +266,86 @@ def frontier_allowed(
             | (F.coalesce(F.col("_alw"), F.lit(-1)) >= F.col("_dis"))
         ).alias("allowed"),
     )
+
+
+def crawl_delays(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body",
+    agent: str | None = None,
+) -> DataFrame:
+    """(host, delay_s:double) — the effective ``Crawl-delay`` of each
+    robots.txt for ``agent``. Group selection mirrors parse_robots: a
+    group naming the agent REPLACES the ``*`` group entirely (so a
+    named group WITHOUT a Crawl-delay line means no delay, not the
+    ``*`` group's); within the selected scope the LAST delay line wins
+    (files repeating the directive mean the later one). Non-numeric
+    values are ignored (try_cast); hosts without an effective delay are
+    absent — callers coalesce a default. Fractional values ("0.5") are
+    legal and common. Same per-row line-fold shape as parse_robots."""
+    agent_lit = F.lit((agent or "").lower())
+    lines = F.transform(
+        F.split(F.col(body_col), r"\r?\n"),
+        lambda ln: F.trim(F.regexp_replace(ln, r"#.*$", "")),
+    )
+    parsed = F.filter(
+        F.transform(
+            lines,
+            lambda ln: F.struct(
+                F.lower(F.trim(F.regexp_extract(ln, r"^([^:]+):", 1))).alias("k"),
+                F.trim(F.regexp_extract(ln, r"^[^:]+:(.*)$", 1)).alias("v"),
+            ),
+        ),
+        lambda s: s["k"].isin("user-agent", "crawl-delay"),
+    )
+    if agent is None:
+        is_named = lambda v: F.lit(False)  # noqa: E731
+    else:
+        is_named = lambda v: F.lower(v) == agent_lit  # noqa: E731
+    nod = F.lit(None).cast("double")
+    step = lambda acc, s: F.when(  # noqa: E731
+        s["k"] == "user-agent",
+        F.struct(
+            F.when(acc["in_agents"], acc["star"] | (s["v"] == "*"))
+            .otherwise(s["v"] == "*")
+            .alias("star"),
+            F.when(acc["in_agents"], acc["named"] | is_named(s["v"]))
+            .otherwise(is_named(s["v"]))
+            .alias("named"),
+            F.lit(True).alias("in_agents"),
+            (acc["has_named"] | is_named(s["v"])).alias("has_named"),
+            acc["star_delay"].alias("star_delay"),
+            acc["named_delay"].alias("named_delay"),
+        ),
+    ).otherwise(
+        F.struct(
+            acc["star"].alias("star"),
+            acc["named"].alias("named"),
+            F.lit(False).alias("in_agents"),
+            acc["has_named"].alias("has_named"),
+            F.when(
+                acc["star"] & s["v"].try_cast("double").isNotNull(),
+                s["v"].try_cast("double"),
+            )
+            .otherwise(acc["star_delay"])
+            .alias("star_delay"),
+            F.when(
+                acc["named"] & s["v"].try_cast("double").isNotNull(),
+                s["v"].try_cast("double"),
+            )
+            .otherwise(acc["named_delay"])
+            .alias("named_delay"),
+        )
+    )
+    zero = F.struct(
+        F.lit(False).alias("star"),
+        F.lit(False).alias("named"),
+        F.lit(False).alias("in_agents"),
+        F.lit(False).alias("has_named"),
+        nod.alias("star_delay"),
+        nod.alias("named_delay"),
+    )
+    acc = F.aggregate(parsed, zero, step)
+    delay = F.when(acc["has_named"], acc["named_delay"]).otherwise(acc["star_delay"])
+    return (
+        robots.select(F.col(host_col).alias("host"), delay.alias("delay_s"))
+        .where(F.col("delay_s").isNotNull() & (F.col("delay_s") >= 0))
+    )

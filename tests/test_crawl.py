@@ -238,3 +238,35 @@ def test_frontier_redirect_collapse(spark):
     assert base == {
         "https://old.test/m", "https://amp.new.test/x", "https://new.test/x",
     }
+
+
+def test_schedule_fetches_per_host_spacing(spark):
+    from fog_spark.operators.crawl import schedule_fetches
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.test/1", "a.test", 5, 900),
+            ("https://a.test/2", "a.test", 9, 900),  # more refs -> earlier
+            ("https://b.test/1", "b.test", 1, 100),
+        ],
+        "dst_url string, host string, n_refs long, host_rank_milli long",
+    )
+    delays = spark.createDataFrame(
+        [("a.test", 2.5)], "host string, delay_s double"
+    )
+    got = {
+        r["url"]: r["fetch_offset_ms"]
+        for r in schedule_fetches(frontier, delays, default_delay_s=1.0).collect()
+    }
+    # a.test: /2 first (n_refs 9) at 0, /1 at 2500ms; b.test default 1s
+    assert got == {
+        "https://a.test/2": 0,
+        "https://a.test/1": 2500,
+        "https://b.test/1": 0,
+    }
+    # no delays frame at all -> default spacing
+    got2 = {
+        r["url"]: r["fetch_offset_ms"]
+        for r in schedule_fetches(frontier, default_delay_s=0.25).collect()
+    }
+    assert got2["https://a.test/1"] == 250

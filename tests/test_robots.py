@@ -291,3 +291,34 @@ def test_sitemap_urls_discovery(spark):
         ("h.test", "https://h.test/sitemap.xml"),
         ("h.test", "https://h.test/news-sitemap.xml"),
     }
+
+
+def test_crawl_delays_group_selection(spark):
+    from fog_spark.operators.robots import crawl_delays
+
+    body = "\n".join([
+        "User-agent: *",
+        "Crawl-delay: 2",
+        "Disallow: /x",
+        "User-agent: fetchbot",
+        "Crawl-delay: 0.5",
+        "User-agent: otherbot",
+        "Crawl-delay: 30",
+    ])
+    # named group wins for fetchbot; * group for unnamed agents
+    robots = spark.createDataFrame([("h.test", body)], "host string, body string")
+    star = {r["host"]: r["delay_s"] for r in crawl_delays(robots).collect()}
+    assert star == {"h.test": 2.0}
+    named = {
+        r["host"]: r["delay_s"]
+        for r in crawl_delays(robots, agent="FetchBot").collect()
+    }
+    assert named == {"h.test": 0.5}
+    # a matching named group WITHOUT a delay replaces * entirely -> no row
+    body2 = "User-agent: *\nCrawl-delay: 9\nUser-agent: fetchbot\nAllow: /"
+    r2 = spark.createDataFrame([("h2.test", body2)], "host string, body string")
+    assert crawl_delays(r2, agent="fetchbot").collect() == []
+    # junk values ignored; last valid delay wins; negatives dropped
+    body3 = "User-agent: *\nCrawl-delay: soon\nCrawl-delay: 4\nCrawl-delay: 7"
+    r3 = spark.createDataFrame([("h3.test", body3)], "host string, body string")
+    assert {r["delay_s"] for r in crawl_delays(r3).collect()} == {7.0}

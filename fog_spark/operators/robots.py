@@ -58,6 +58,10 @@ def parse_robots(
         F.split(F.col(body_col), r"\r?\n"),
         lambda ln: F.trim(F.regexp_replace(ln, r"#.*$", "")),
     )
+    # EVERY directive line is kept (k != ''): a directive that is not a
+    # rule still CLOSES a User-agent header block (e.g. a Crawl-delay
+    # between two User-agent lines splits them into separate groups —
+    # only uninterrupted UA runs merge), it just contributes no rule.
     parsed = F.filter(
         F.transform(
             lines,
@@ -66,12 +70,12 @@ def parse_robots(
                 F.trim(F.regexp_extract(ln, r"^[^:]+:(.*)$", 1)).alias("v"),
             ),
         ),
-        lambda s: s["k"].isin("user-agent", "allow", "disallow"),
+        lambda s: s["k"] != "",
     )
     # fold state: star/named = current group names the * / our agent;
     # in_agents = still inside the group's User-agent header block
-    # (consecutive User-agent lines extend ONE group; a rule closes it);
-    # has_named = ANY group in the file named our agent.
+    # (consecutive User-agent lines extend ONE group; any directive
+    # closes it); has_named = ANY group in the file named our agent.
     if agent is None:
         is_named = lambda v: F.lit(False)  # noqa: E731
     else:
@@ -100,13 +104,17 @@ def parse_robots(
             F.lit(False).alias("in_agents"),
             acc["has_named"].alias("has_named"),
             F.when(
-                acc["star"] & (F.length(s["v"]) > 0),
+                s["k"].isin("allow", "disallow")
+                & acc["star"]
+                & (F.length(s["v"]) > 0),
                 F.array_append(acc["star_rules"], rule(s)),
             )
             .otherwise(acc["star_rules"])
             .alias("star_rules"),
             F.when(
-                acc["named"] & (F.length(s["v"]) > 0),
+                s["k"].isin("allow", "disallow")
+                & acc["named"]
+                & (F.length(s["v"]) > 0),
                 F.array_append(acc["named_rules"], rule(s)),
             )
             .otherwise(acc["named_rules"])
@@ -294,7 +302,9 @@ def crawl_delays(
                 F.trim(F.regexp_extract(ln, r"^[^:]+:(.*)$", 1)).alias("v"),
             ),
         ),
-        lambda s: s["k"].isin("user-agent", "crawl-delay"),
+        # every directive kept: non-delay directives still close a
+        # User-agent header block (same group boundaries as parse_robots)
+        lambda s: s["k"] != "",
     )
     if agent is None:
         is_named = lambda v: F.lit(False)  # noqa: E731
@@ -322,13 +332,17 @@ def crawl_delays(
             F.lit(False).alias("in_agents"),
             acc["has_named"].alias("has_named"),
             F.when(
-                acc["star"] & s["v"].try_cast("double").isNotNull(),
+                (s["k"] == "crawl-delay")
+                & acc["star"]
+                & s["v"].try_cast("double").isNotNull(),
                 s["v"].try_cast("double"),
             )
             .otherwise(acc["star_delay"])
             .alias("star_delay"),
             F.when(
-                acc["named"] & s["v"].try_cast("double").isNotNull(),
+                (s["k"] == "crawl-delay")
+                & acc["named"]
+                & s["v"].try_cast("double").isNotNull(),
                 s["v"].try_cast("double"),
             )
             .otherwise(acc["named_delay"])

@@ -322,3 +322,33 @@ def test_crawl_delays_group_selection(spark):
     body3 = "User-agent: *\nCrawl-delay: soon\nCrawl-delay: 4\nCrawl-delay: 7"
     r3 = spark.createDataFrame([("h3.test", body3)], "host string, body string")
     assert {r["delay_s"] for r in crawl_delays(r3).collect()} == {7.0}
+
+
+def test_group_boundaries_closed_by_any_directive(spark):
+    """A directive that is not a rule still closes a User-agent header
+    block: UA a / Disallow / UA b must be TWO groups (review-of-review
+    finding — the fold previously only saw kept directives, so the
+    unkept kind leaked group membership across)."""
+    from fog_spark.operators.robots import crawl_delays, parse_robots
+
+    body = "\n".join([
+        "User-agent: alpha",
+        "Disallow: /a-only",
+        "User-agent: beta",
+        "Crawl-delay: 5",
+        "Disallow: /b-only",
+    ])
+    robots = spark.createDataFrame([("h.test", body)], "host string, body string")
+    # alpha's group must NOT get beta's delay
+    assert crawl_delays(robots, agent="alpha").collect() == []
+    assert {r["delay_s"] for r in crawl_delays(robots, agent="beta").collect()} == {5.0}
+    # beta's rules must NOT include alpha's (crawl-delay closed nothing
+    # extra) and vice versa
+    a_rules = {r["prefix"] for r in parse_robots(robots, agent="alpha").collect()}
+    b_rules = {r["prefix"] for r in parse_robots(robots, agent="beta").collect()}
+    assert a_rules == {"/a-only"} and b_rules == {"/b-only"}
+    # uninterrupted UA runs still merge into one group
+    body2 = "User-agent: a\nUser-agent: b\nDisallow: /both"
+    r2 = spark.createDataFrame([("h2.test", body2)], "host string, body string")
+    assert {r["prefix"] for r in parse_robots(r2, agent="a").collect()} == {"/both"}
+    assert {r["prefix"] for r in parse_robots(r2, agent="b").collect()} == {"/both"}

@@ -386,10 +386,22 @@ plan0 AS (SELECT * FROM linkrows UNION ALL SELECT * FROM seedrows),
 tpl AS (SELECT url, CASE WHEN url LIKE '%/cal?d=%' THEN host || '/cal?d='
                          ELSE host || '/p/N' END AS template FROM plan0),
 trapped AS (SELECT template FROM tpl GROUP BY template
-            HAVING COUNT(DISTINCT url) >= {trap_min})
-SELECT p.url, p.host, p.n_refs, p.host_rank_milli, p.via
-FROM plan0 p JOIN tpl ON tpl.url = p.url
-WHERE tpl.template NOT IN (SELECT template FROM trapped)"""
+            HAVING COUNT(DISTINCT url) >= {trap_min}),
+plan1 AS (SELECT p.url, p.host, p.n_refs, p.host_rank_milli, p.via
+          FROM plan0 p JOIN tpl ON tpl.url = p.url
+          WHERE tpl.template NOT IN (SELECT template FROM trapped)),
+-- crawl_delays (h5: 2 s, h2: 0.5 s) + schedule_fetches replayed: the
+-- i-th url of a host under the plan's priority order fetches at
+-- i * delay_ms (default 1000 for hosts without a declared delay)
+dly AS (SELECT 'h5.test' AS host, 2000 AS dms
+        UNION ALL SELECT 'h2.test', 500),
+sched AS (SELECT p.url,
+       CAST((ROW_NUMBER() OVER (PARTITION BY p.host
+             ORDER BY p.host_rank_milli DESC, p.n_refs DESC, p.url) - 1)
+            * COALESCE(d.dms, 1000) AS BIGINT) AS fetch_offset_ms
+       FROM plan1 p LEFT JOIN dly d ON d.host = p.host)
+SELECT p.url, p.host, p.n_refs, p.host_rank_milli, p.via, s.fetch_offset_ms
+FROM plan1 p JOIN sched s ON s.url = p.url"""
     return _wpagerank_milli_sql(niters, edges_sql=edges_sql, prologue=prologue, tail=tail)
 
 
@@ -1334,8 +1346,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("url"),
             F.encode(html, "UTF-8").alias("html"),
         )
+        # h5 adds a Crawl-delay (after the rules — any directive closes
+        # a UA header block, but group membership persists); h2's robots
+        # carries ONLY a delay (no rules). Both feed schedule_fetches so
+        # crawl_delays + the per-host fetch timeline sit under the hash.
         robots = spark.createDataFrame(
-            [("h5.test", "User-agent: *\nDisallow: /p/1*\nAllow: /p/13$")],
+            [
+                (
+                    "h5.test",
+                    "User-agent: *\nDisallow: /p/1*\nAllow: /p/13$\nCrawl-delay: 2",
+                ),
+                ("h2.test", "User-agent: *\nCrawl-delay: 0.5"),
+            ],
             "host string, body string",
         )
         sm_h2 = (
@@ -1355,7 +1377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
             "sitemap_url string, body string",
         )
-        return frontier_plan(
+        from fog_spark.operators.crawl import schedule_fetches
+        from fog_spark.operators.robots import crawl_delays
+
+        plan = frontier_plan(
             pages,
             robots_rules=parse_robots(robots),
             sitemaps=sitemaps,
@@ -1368,6 +1393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("host_rank_milli").cast("long").alias("host_rank_milli"),
             "via",
         )
+        sched = schedule_fetches(
+            plan, crawl_delays(robots), default_delay_s=1.0, url_col="url"
+        ).select("url", F.col("fetch_offset_ms").cast("long").alias("fetch_offset_ms"))
+        return plan.join(sched, "url")
 
     def msbfs4(spark, sf):
         return _msbfs_state(spark, sf)

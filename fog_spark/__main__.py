@@ -159,6 +159,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trap-min-urls", type=int, default=None,
                    help="frontier-plan: flag URL templates with this many "
                         "distinct candidates as crawler traps")
+    p.add_argument("--schedule", action="store_true",
+                   help="frontier algos: append exact per-host fetch offsets "
+                        "(Crawl-delay from --robots, else --default-delay)")
+    p.add_argument("--default-delay", type=float, default=1.0,
+                   help="--schedule: seconds between fetches for hosts "
+                        "without a declared Crawl-delay")
     p.add_argument("--query", action="append", default=None,
                    help="bm25: keyword query (repeatable; one result set per query)")
     p.add_argument("--topk", type=int, default=10,
@@ -306,41 +312,64 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
             )
         pages = _load_pages(spark, args)
         rules = None
+        robots_df = None
         if args.robots:
             from fog_spark.operators.robots import parse_robots
 
             robots_df = spark.read.parquet(args.robots)
             _require_cols(robots_df, ("host", "body"), "--robots input")
             rules = parse_robots(robots_df)
+
+        def _maybe_schedule(frontier, url_col):
+            if not args.schedule:
+                return frontier
+            from fog_spark.operators.crawl import schedule_fetches
+            from fog_spark.operators.robots import crawl_delays
+
+            delays = crawl_delays(robots_df) if robots_df is not None else None
+            sched = schedule_fetches(
+                frontier, delays, default_delay_s=args.default_delay,
+                url_col=url_col,
+            ).select(
+                F.col("url").alias(url_col), "fetch_offset_ms"
+            )
+            return frontier.join(sched, url_col)
+
         redirects = None
         if args.redirects:
             _check_max_hops(args.redirect_max_hops)
             redirects = spark.read.parquet(args.redirects)
             _require_cols(redirects, ("url", "target"), "--redirects input")
         if args.algo == "crawl-frontier":
-            return crawl_frontier(
-                pages,
-                niters=args.pagerank_niters,
-                per_host_cap=args.frontier_cap,
-                resolve=args.resolve_links,
-                robots_rules=rules,
-                redirects=redirects,
-                redirect_max_hops=args.redirect_max_hops,
+            return _maybe_schedule(
+                crawl_frontier(
+                    pages,
+                    niters=args.pagerank_niters,
+                    per_host_cap=args.frontier_cap,
+                    resolve=args.resolve_links,
+                    robots_rules=rules,
+                    redirects=redirects,
+                    redirect_max_hops=args.redirect_max_hops,
+                ),
+                "dst_url",
             )
         sitemaps = None
         if args.sitemaps:
             sitemaps = spark.read.parquet(args.sitemaps)
             _require_cols(sitemaps, ("sitemap_url", "body"), "--sitemaps input")
-        return frontier_plan(
-            pages,
-            robots_rules=rules,
-            sitemaps=sitemaps,
-            niters=args.pagerank_niters,
-            per_host_cap=args.frontier_cap,
-            trap_min_urls=args.trap_min_urls,
-            resolve=args.resolve_links,
-            redirects=redirects,
-            redirect_max_hops=args.redirect_max_hops,
+        return _maybe_schedule(
+            frontier_plan(
+                pages,
+                robots_rules=rules,
+                sitemaps=sitemaps,
+                niters=args.pagerank_niters,
+                per_host_cap=args.frontier_cap,
+                trap_min_urls=args.trap_min_urls,
+                resolve=args.resolve_links,
+                redirects=redirects,
+                redirect_max_hops=args.redirect_max_hops,
+            ),
+            "url",
         )
 
     if args.algo == "recrawl-schedule":

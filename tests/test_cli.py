@@ -244,3 +244,40 @@ def test_cli_frontier_plan_and_recrawl(spark, tmp_path):
     ) == 0
     rows = spark.read.parquet(str(rout)).collect()
     assert len(rows) == 1 and rows[0]["recrawl_hours"] >= 1.0
+
+
+def test_cli_frontier_schedule(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    pages_pq = tmp_path / "pages_sched_pq"
+    spark.createDataFrame(
+        [
+            (
+                "https://a.test/1",
+                '<html><a href="https://n.test/x">1</a>'
+                '<a href="https://n.test/y">2</a>'
+                '<a href="https://n.test/y">2b</a></html>',
+            ),
+        ],
+        "url string, html_s string",
+    ).select(
+        "url", F.encode("html_s", "UTF-8").alias("html")
+    ).write.mode("overwrite").parquet(str(pages_pq))
+    robots_pq = tmp_path / "robots_sched_pq"
+    spark.createDataFrame(
+        [("n.test", "User-agent: *\nCrawl-delay: 3")],
+        "host string, body string",
+    ).write.mode("overwrite").parquet(str(robots_pq))
+    out = tmp_path / "sched_out"
+    assert main(
+        ["--algo", "crawl-frontier", "--edges", str(pages_pq), "--format",
+         "pages", "--robots", str(robots_pq), "--schedule",
+         "--pagerank-niters", "2", "--output", str(out)],
+        spark=spark,
+    ) == 0
+    got = {
+        r["dst_url"]: r["fetch_offset_ms"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # /y has 2 refs -> first (offset 0); /x second at the 3 s delay
+    assert got == {"https://n.test/y": 0, "https://n.test/x": 3000}

@@ -1393,10 +1393,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("host_rank_milli").cast("long").alias("host_rank_milli"),
             "via",
         )
-        sched = schedule_fetches(
-            plan, crawl_delays(robots), default_delay_s=1.0, url_col="url"
-        ).select("url", F.col("fetch_offset_ms").cast("long").alias("fetch_offset_ms"))
-        return plan.join(sched, "url")
+        out = schedule_fetches(
+            plan, crawl_delays(robots), default_delay_s=1.0, url_col="url",
+            keep_cols=True,
+        )
+        return out.withColumn(
+            "fetch_offset_ms", F.col("fetch_offset_ms").cast("long")
+        )
 
     def msbfs4(spark, sf):
         return _msbfs_state(spark, sf)

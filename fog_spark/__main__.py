@@ -327,13 +327,12 @@ def run(args: argparse.Namespace, spark: SparkSession) -> DataFrame:
             from fog_spark.operators.robots import crawl_delays
 
             delays = crawl_delays(robots_df) if robots_df is not None else None
-            sched = schedule_fetches(
+            # keep_cols annotates in place — no self-join of the lazy
+            # frontier subtree (extraction/anti-join/robots would run 2x)
+            return schedule_fetches(
                 frontier, delays, default_delay_s=args.default_delay,
-                url_col=url_col,
-            ).select(
-                F.col("url").alias(url_col), "fetch_offset_ms"
+                url_col=url_col, keep_cols=True,
             )
-            return frontier.join(sched, url_col)
 
         redirects = None
         if args.redirects:

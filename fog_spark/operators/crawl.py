@@ -285,11 +285,19 @@ def trap_candidates(
     return per.where(F.col("n_urls") >= min_urls)
 
 
+# untrusted Crawl-delay clamp: values come from arbitrary robots.txt
+# bodies, and an absurd one ('Crawl-delay: 1e18') would overflow the ms
+# cast / the offset multiply under ANSI and kill the whole scheduling
+# job. Real crawlers cap the directive far lower; an hour is generous.
+MAX_CRAWL_DELAY_S = 3600.0
+
+
 def schedule_fetches(
     frontier: DataFrame,
     delays: DataFrame | None = None,
     default_delay_s: float = 1.0,
     url_col: str = "dst_url",
+    keep_cols: bool = False,
 ) -> DataFrame:
     """(url, host, fetch_offset_ms) — turn a ranked frontier into a
     dispatchable per-host fetch timeline: the i-th url of a host (under
@@ -299,6 +307,14 @@ def schedule_fetches(
     absent from ``delays`` use ``default_delay_s``). Offsets are exact
     integer milliseconds (delay rounds to ms once), so the timeline is
     engine-independent and a dispatcher can shard it by offset range.
+    Delays clamp to MAX_CRAWL_DELAY_S (hostile robots values must not
+    abort the job) and dedup per host defensively (largest wins) even
+    though crawl_delays already emits one row per host.
+
+    ``keep_cols=True`` returns ALL frontier columns + fetch_offset_ms
+    instead — use it to annotate a frontier in place: the offset rides
+    the same window pass, so there is NO self-join of the (expensive,
+    lazy) frontier subtree against itself.
 
     Shape: one broadcast join (delays is host-sized) + one window per
     host. The window sorts each host's candidates in one task — run it
@@ -312,22 +328,29 @@ def schedule_fetches(
     ] + [F.col(url_col).asc()]
     f = frontier
     if delays is not None:
-        d = delays.select(
-            F.col("host").alias("_dh"),
-            F.round(F.col("delay_s") * 1000).cast("long").alias("_dms"),
+        d = (
+            delays.groupBy(F.col("host").alias("_dh"))
+            .agg(F.max("delay_s").alias("_ds"))
+            .select(
+                "_dh",
+                F.round(
+                    F.least(F.col("_ds"), F.lit(MAX_CRAWL_DELAY_S)) * 1000
+                )
+                .cast("long")
+                .alias("_dms"),
+            )
         )
         f = f.join(F.broadcast(d), f["host"] == d["_dh"], "left").drop("_dh")
     else:
         f = f.withColumn("_dms", F.lit(None).cast("long"))
-    delay_ms = F.coalesce(
-        F.col("_dms"), F.lit(int(round(default_delay_s * 1000)))
-    )
+    default_ms = int(round(min(default_delay_s, MAX_CRAWL_DELAY_S) * 1000))
+    delay_ms = F.coalesce(F.col("_dms"), F.lit(default_ms))
     w = Window.partitionBy("host").orderBy(*order)
-    return (
-        f.withColumn("_rn", F.row_number().over(w))
-        .select(
-            F.col(url_col).alias("url"),
-            "host",
-            ((F.col("_rn") - 1) * delay_ms).alias("fetch_offset_ms"),
-        )
+    ranked = f.withColumn(
+        "fetch_offset_ms", (F.row_number().over(w) - 1) * delay_ms
+    ).drop("_dms")
+    if keep_cols:
+        return ranked
+    return ranked.select(
+        F.col(url_col).alias("url"), "host", "fetch_offset_ms"
     )

@@ -41,6 +41,75 @@ from pyspark.sql import functions as F
 from fog_spark.operators.hostgraph import host_of
 
 
+def _group_fold(body_col: str, agent: str | None, payload):
+    """The ONE RFC 9309 agent-group-selection fold, shared by every
+    directive collector (parse_robots, crawl_delays) so group semantics
+    can never diverge between them — the group-boundary fix had to be
+    applied twice when they were separate copies.
+
+    Fold state: star/named = the current group names ``*`` / our agent;
+    in_agents = still inside the group's User-agent header block
+    (consecutive User-agent lines extend ONE group; ANY other directive
+    closes it — a Crawl-delay between two UA lines splits them into
+    separate groups); has_named = ANY group in the file named our agent.
+    EVERY directive line is kept (k != ''): non-collected kinds still
+    close the header block, they just contribute nothing.
+
+    ``payload`` = list of (name, zero Column, step fn(acc, s) -> Column)
+    collected fields; the User-agent branch carries them through
+    unchanged. Returns the final fold struct (star, named, in_agents,
+    has_named, + payload fields)."""
+    agent_lit = F.lit((agent or "").lower())
+    lines = F.transform(
+        F.split(F.col(body_col), r"\r?\n"),
+        lambda ln: F.trim(F.regexp_replace(ln, r"#.*$", "")),
+    )
+    parsed = F.filter(
+        F.transform(
+            lines,
+            lambda ln: F.struct(
+                F.lower(F.trim(F.regexp_extract(ln, r"^([^:]+):", 1))).alias("k"),
+                F.trim(F.regexp_extract(ln, r"^[^:]+:(.*)$", 1)).alias("v"),
+            ),
+        ),
+        lambda s: s["k"] != "",
+    )
+    if agent is None:
+        is_named = lambda v: F.lit(False)  # noqa: E731
+    else:
+        is_named = lambda v: F.lower(v) == agent_lit  # noqa: E731
+
+    def step(acc, s):
+        ua = F.struct(
+            F.when(acc["in_agents"], acc["star"] | (s["v"] == "*"))
+            .otherwise(s["v"] == "*")
+            .alias("star"),
+            F.when(acc["in_agents"], acc["named"] | is_named(s["v"]))
+            .otherwise(is_named(s["v"]))
+            .alias("named"),
+            F.lit(True).alias("in_agents"),
+            (acc["has_named"] | is_named(s["v"])).alias("has_named"),
+            *[acc[n].alias(n) for n, _z, _f in payload],
+        )
+        other = F.struct(
+            acc["star"].alias("star"),
+            acc["named"].alias("named"),
+            F.lit(False).alias("in_agents"),
+            acc["has_named"].alias("has_named"),
+            *[fn(acc, s).alias(n) for n, _z, fn in payload],
+        )
+        return F.when(s["k"] == "user-agent", ua).otherwise(other)
+
+    zero = F.struct(
+        F.lit(False).alias("star"),
+        F.lit(False).alias("named"),
+        F.lit(False).alias("in_agents"),
+        F.lit(False).alias("has_named"),
+        *[z.alias(n) for n, z, _f in payload],
+    )
+    return F.aggregate(parsed, zero, step)
+
+
 def parse_robots(
     robots: DataFrame, host_col: str = "host", body_col: str = "body",
     agent: str | None = None,
@@ -53,84 +122,30 @@ def parse_robots(
     present-but-empty named group yields NO rules (allow-all) rather
     than falling back to ``*``. ``prefix`` is the raw rule value,
     wildcards included; :func:`frontier_allowed` interprets them."""
-    agent_lit = F.lit((agent or "").lower())
-    lines = F.transform(
-        F.split(F.col(body_col), r"\r?\n"),
-        lambda ln: F.trim(F.regexp_replace(ln, r"#.*$", "")),
-    )
-    # EVERY directive line is kept (k != ''): a directive that is not a
-    # rule still CLOSES a User-agent header block (e.g. a Crawl-delay
-    # between two User-agent lines splits them into separate groups —
-    # only uninterrupted UA runs merge), it just contributes no rule.
-    parsed = F.filter(
-        F.transform(
-            lines,
-            lambda ln: F.struct(
-                F.lower(F.trim(F.regexp_extract(ln, r"^([^:]+):", 1))).alias("k"),
-                F.trim(F.regexp_extract(ln, r"^[^:]+:(.*)$", 1)).alias("v"),
-            ),
-        ),
-        lambda s: s["k"] != "",
-    )
-    # fold state: star/named = current group names the * / our agent;
-    # in_agents = still inside the group's User-agent header block
-    # (consecutive User-agent lines extend ONE group; any directive
-    # closes it); has_named = ANY group in the file named our agent.
-    if agent is None:
-        is_named = lambda v: F.lit(False)  # noqa: E731
-    else:
-        is_named = lambda v: F.lower(v) == agent_lit  # noqa: E731
     rule = lambda s: F.struct(  # noqa: E731
         (s["k"] == "allow").alias("allow"), s["v"].alias("prefix")
     )
-    step = lambda acc, s: F.when(  # noqa: E731
-        s["k"] == "user-agent",
-        F.struct(
-            F.when(acc["in_agents"], acc["star"] | (s["v"] == "*"))
-            .otherwise(s["v"] == "*")
-            .alias("star"),
-            F.when(acc["in_agents"], acc["named"] | is_named(s["v"]))
-            .otherwise(is_named(s["v"]))
-            .alias("named"),
-            F.lit(True).alias("in_agents"),
-            (acc["has_named"] | is_named(s["v"])).alias("has_named"),
-            acc["star_rules"].alias("star_rules"),
-            acc["named_rules"].alias("named_rules"),
-        ),
-    ).otherwise(
-        F.struct(
-            acc["star"].alias("star"),
-            acc["named"].alias("named"),
-            F.lit(False).alias("in_agents"),
-            acc["has_named"].alias("has_named"),
-            F.when(
+
+    def rules_step(side):
+        def f(acc, s):
+            return F.when(
                 s["k"].isin("allow", "disallow")
-                & acc["star"]
+                & acc[side]
                 & (F.length(s["v"]) > 0),
-                F.array_append(acc["star_rules"], rule(s)),
-            )
-            .otherwise(acc["star_rules"])
-            .alias("star_rules"),
-            F.when(
-                s["k"].isin("allow", "disallow")
-                & acc["named"]
-                & (F.length(s["v"]) > 0),
-                F.array_append(acc["named_rules"], rule(s)),
-            )
-            .otherwise(acc["named_rules"])
-            .alias("named_rules"),
-        )
-    )
+                F.array_append(acc[f"{side}_rules"], rule(s)),
+            ).otherwise(acc[f"{side}_rules"])
+
+        return f
+
     empty = F.array().cast("array<struct<allow:boolean,prefix:string>>")
-    zero = F.struct(
-        F.lit(False).alias("star"),
-        F.lit(False).alias("named"),
-        F.lit(False).alias("in_agents"),
-        F.lit(False).alias("has_named"),
-        empty.alias("star_rules"),
-        empty.alias("named_rules"),
+    acc = _group_fold(
+        body_col,
+        agent,
+        [
+            ("star_rules", empty, rules_step("star")),
+            ("named_rules", empty, rules_step("named")),
+        ],
     )
-    acc = F.aggregate(parsed, zero, step)
     rules = F.when(acc["has_named"], acc["named_rules"]).otherwise(acc["star_rules"])
     return robots.select(
         F.col(host_col).alias("host"), F.explode(rules).alias("r")
@@ -284,82 +299,44 @@ def crawl_delays(
     robots.txt for ``agent``. Group selection mirrors parse_robots: a
     group naming the agent REPLACES the ``*`` group entirely (so a
     named group WITHOUT a Crawl-delay line means no delay, not the
-    ``*`` group's); within the selected scope the LAST delay line wins
-    (files repeating the directive mean the later one). Non-numeric
-    values are ignored (try_cast); hosts without an effective delay are
-    absent — callers coalesce a default. Fractional values ("0.5") are
-    legal and common. Same per-row line-fold shape as parse_robots."""
-    agent_lit = F.lit((agent or "").lower())
-    lines = F.transform(
-        F.split(F.col(body_col), r"\r?\n"),
-        lambda ln: F.trim(F.regexp_replace(ln, r"#.*$", "")),
-    )
-    parsed = F.filter(
-        F.transform(
-            lines,
-            lambda ln: F.struct(
-                F.lower(F.trim(F.regexp_extract(ln, r"^([^:]+):", 1))).alias("k"),
-                F.trim(F.regexp_extract(ln, r"^[^:]+:(.*)$", 1)).alias("v"),
-            ),
-        ),
-        # every directive kept: non-delay directives still close a
-        # User-agent header block (same group boundaries as parse_robots)
-        lambda s: s["k"] != "",
-    )
-    if agent is None:
-        is_named = lambda v: F.lit(False)  # noqa: E731
-    else:
-        is_named = lambda v: F.lower(v) == agent_lit  # noqa: E731
+    ``*`` group's); within the selected scope the LAST VALID delay line
+    wins (files repeating the directive mean the later one). Non-numeric
+    AND negative values are ignored — they never overwrite an earlier
+    valid delay. Hosts without an effective delay are absent — callers
+    coalesce a default. Fractional values ("0.5") are legal and common.
+    Output is one row per host (duplicate robots captures keep the
+    politest = largest delay). Same per-row line-fold shape as
+    parse_robots."""
+    def delay_step(side):
+        def f(acc, s):
+            # a non-numeric or negative value is IGNORED (never
+            # overwrites an earlier valid delay); NULL >= 0 is NULL,
+            # which F.when treats as false
+            return F.when(
+                (s["k"] == "crawl-delay")
+                & acc[side]
+                & (s["v"].try_cast("double") >= 0),
+                s["v"].try_cast("double"),
+            ).otherwise(acc[f"{side}_delay"])
+
+        return f
+
     nod = F.lit(None).cast("double")
-    step = lambda acc, s: F.when(  # noqa: E731
-        s["k"] == "user-agent",
-        F.struct(
-            F.when(acc["in_agents"], acc["star"] | (s["v"] == "*"))
-            .otherwise(s["v"] == "*")
-            .alias("star"),
-            F.when(acc["in_agents"], acc["named"] | is_named(s["v"]))
-            .otherwise(is_named(s["v"]))
-            .alias("named"),
-            F.lit(True).alias("in_agents"),
-            (acc["has_named"] | is_named(s["v"])).alias("has_named"),
-            acc["star_delay"].alias("star_delay"),
-            acc["named_delay"].alias("named_delay"),
-        ),
-    ).otherwise(
-        F.struct(
-            acc["star"].alias("star"),
-            acc["named"].alias("named"),
-            F.lit(False).alias("in_agents"),
-            acc["has_named"].alias("has_named"),
-            F.when(
-                (s["k"] == "crawl-delay")
-                & acc["star"]
-                & s["v"].try_cast("double").isNotNull(),
-                s["v"].try_cast("double"),
-            )
-            .otherwise(acc["star_delay"])
-            .alias("star_delay"),
-            F.when(
-                (s["k"] == "crawl-delay")
-                & acc["named"]
-                & s["v"].try_cast("double").isNotNull(),
-                s["v"].try_cast("double"),
-            )
-            .otherwise(acc["named_delay"])
-            .alias("named_delay"),
-        )
+    acc = _group_fold(
+        body_col,
+        agent,
+        [
+            ("star_delay", nod, delay_step("star")),
+            ("named_delay", nod, delay_step("named")),
+        ],
     )
-    zero = F.struct(
-        F.lit(False).alias("star"),
-        F.lit(False).alias("named"),
-        F.lit(False).alias("in_agents"),
-        F.lit(False).alias("has_named"),
-        nod.alias("star_delay"),
-        nod.alias("named_delay"),
-    )
-    acc = F.aggregate(parsed, zero, step)
     delay = F.when(acc["has_named"], acc["named_delay"]).otherwise(acc["star_delay"])
     return (
         robots.select(F.col(host_col).alias("host"), delay.alias("delay_s"))
         .where(F.col("delay_s").isNotNull() & (F.col("delay_s") >= 0))
+        # multi-capture robots tables carry the same host twice: keep the
+        # politest (largest) declared delay so a duplicate host can never
+        # multiply rows through the scheduler's join
+        .groupBy("host")
+        .agg(F.max("delay_s").alias("delay_s"))
     )

@@ -270,3 +270,34 @@ def test_schedule_fetches_per_host_spacing(spark):
         for r in schedule_fetches(frontier, default_delay_s=0.25).collect()
     }
     assert got2["https://a.test/1"] == 250
+
+
+def test_schedule_fetches_hostile_delay_and_keep_cols(spark):
+    """A hostile Crawl-delay (1e18) must clamp, not abort the job under
+    ANSI; keep_cols annotates the frontier in place with identical
+    offsets (review findings)."""
+    from fog_spark.operators.crawl import MAX_CRAWL_DELAY_S, schedule_fetches
+
+    frontier = spark.createDataFrame(
+        [
+            ("https://evil.test/a", "evil.test", 2, 500),
+            ("https://evil.test/b", "evil.test", 1, 500),
+        ],
+        "dst_url string, host string, n_refs long, host_rank_milli long",
+    )
+    delays = spark.createDataFrame(
+        [("evil.test", 1e18)], "host string, delay_s double"
+    )
+    got = {
+        r["url"]: r["fetch_offset_ms"]
+        for r in schedule_fetches(frontier, delays).collect()
+    }
+    assert got["https://evil.test/b"] == int(MAX_CRAWL_DELAY_S * 1000)
+    kept = schedule_fetches(frontier, delays, keep_cols=True).collect()
+    assert {f.name for f in schedule_fetches(frontier, delays, keep_cols=True).schema.fields} == {
+        "dst_url", "host", "n_refs", "host_rank_milli", "fetch_offset_ms"
+    }
+    assert {r["dst_url"]: r["fetch_offset_ms"] for r in kept} == {
+        "https://evil.test/a": 0,
+        "https://evil.test/b": int(MAX_CRAWL_DELAY_S * 1000),
+    }

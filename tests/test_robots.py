@@ -322,6 +322,19 @@ def test_crawl_delays_group_selection(spark):
     body3 = "User-agent: *\nCrawl-delay: soon\nCrawl-delay: 4\nCrawl-delay: 7"
     r3 = spark.createDataFrame([("h3.test", body3)], "host string, body string")
     assert {r["delay_s"] for r in crawl_delays(r3).collect()} == {7.0}
+    # a negative AFTER a valid delay is ignored, not an eraser (review
+    # finding): the host keeps 4, it does not fall to the default
+    body4 = "User-agent: *\nCrawl-delay: 4\nCrawl-delay: -2"
+    r4 = spark.createDataFrame([("h4.test", body4)], "host string, body string")
+    assert {r["delay_s"] for r in crawl_delays(r4).collect()} == {4.0}
+    # duplicate host captures collapse to ONE row (politest delay)
+    r5 = spark.createDataFrame(
+        [("h5.test", "User-agent: *\nCrawl-delay: 1"),
+         ("h5.test", "User-agent: *\nCrawl-delay: 6")],
+        "host string, body string",
+    )
+    rows5 = crawl_delays(r5).collect()
+    assert len(rows5) == 1 and rows5[0]["delay_s"] == 6.0
 
 
 def test_group_boundaries_closed_by_any_directive(spark):

@@ -5,7 +5,7 @@ throughput at each.
 
 Same protocol as tools/dedup_scale_probe.py (the committed precedent):
 synthetic generate_pages corpus persisted before timing, single trial
-per level, whole-box hypervisor steal %% recorded per timing so a
+per level, whole-box hypervisor steal % recorded per timing so a
 polluted trial is visible. Two timings per level:
 
 - build: build_postings + doc_lengths materialized to counts — one
@@ -132,7 +132,7 @@ def main() -> None:
         "shuffle_partitions": 64,
         "input": "generate_pages(n) synthetic corpus (FIXTURES F1 text), persisted before timing",
         "protocol": (
-            "single trial per level, whole-box steal %% recorded per timing "
+            "single trial per level, whole-box steal % recorded per timing "
             "(supplementary scale evidence)"
         ),
         "levels": [probe_level(spark, n) for n in levels],

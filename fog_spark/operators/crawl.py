@@ -307,9 +307,11 @@ def schedule_fetches(
     absent from ``delays`` use ``default_delay_s``). Offsets are exact
     integer milliseconds (delay rounds to ms once), so the timeline is
     engine-independent and a dispatcher can shard it by offset range.
-    Delays clamp to MAX_CRAWL_DELAY_S (hostile robots values must not
-    abort the job) and dedup per host defensively (largest wins) even
-    though crawl_delays already emits one row per host.
+    Delays clamp to [0, MAX_CRAWL_DELAY_S] — hostile robots values must
+    not abort the job, and NULL or negative rows fall through to the
+    default rather than the clamp ceiling — and dedup per host
+    defensively (largest wins) even though crawl_delays already emits
+    one valid row per host.
 
     ``keep_cols=True`` returns ALL frontier columns + fetch_offset_ms
     instead — use it to annotate a frontier in place: the offset rides
@@ -328,22 +330,24 @@ def schedule_fetches(
     ] + [F.col(url_col).asc()]
     f = frontier
     if delays is not None:
+        # two-sided guard: a NULL or negative delay_s row falls through
+        # to the default (F.least alone would turn NULL into the MAX —
+        # skipping nulls — and pass negatives straight through)
+        ds = F.col("_ds")
+        bounded = F.when(
+            ds.isNotNull() & (ds >= 0), F.least(ds, F.lit(MAX_CRAWL_DELAY_S))
+        )
         d = (
             delays.groupBy(F.col("host").alias("_dh"))
             .agg(F.max("delay_s").alias("_ds"))
-            .select(
-                "_dh",
-                F.round(
-                    F.least(F.col("_ds"), F.lit(MAX_CRAWL_DELAY_S)) * 1000
-                )
-                .cast("long")
-                .alias("_dms"),
-            )
+            .select("_dh", F.round(bounded * 1000).cast("long").alias("_dms"))
         )
         f = f.join(F.broadcast(d), f["host"] == d["_dh"], "left").drop("_dh")
     else:
         f = f.withColumn("_dms", F.lit(None).cast("long"))
-    default_ms = int(round(min(default_delay_s, MAX_CRAWL_DELAY_S) * 1000))
+    default_ms = int(
+        round(min(max(default_delay_s, 0.0), MAX_CRAWL_DELAY_S) * 1000)
+    )
     delay_ms = F.coalesce(F.col("_dms"), F.lit(default_ms))
     w = Window.partitionBy("host").orderBy(*order)
     ranked = f.withColumn(

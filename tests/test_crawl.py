@@ -293,11 +293,26 @@ def test_schedule_fetches_hostile_delay_and_keep_cols(spark):
         for r in schedule_fetches(frontier, delays).collect()
     }
     assert got["https://evil.test/b"] == int(MAX_CRAWL_DELAY_S * 1000)
-    kept = schedule_fetches(frontier, delays, keep_cols=True).collect()
-    assert {f.name for f in schedule_fetches(frontier, delays, keep_cols=True).schema.fields} == {
+    kept_df = schedule_fetches(frontier, delays, keep_cols=True)
+    assert {f.name for f in kept_df.schema.fields} == {
         "dst_url", "host", "n_refs", "host_rank_milli", "fetch_offset_ms"
     }
-    assert {r["dst_url"]: r["fetch_offset_ms"] for r in kept} == {
+    assert {r["dst_url"]: r["fetch_offset_ms"] for r in kept_df.collect()} == {
         "https://evil.test/a": 0,
         "https://evil.test/b": int(MAX_CRAWL_DELAY_S * 1000),
     }
+    # NULL or negative delay rows fall to the DEFAULT, not the clamp
+    # ceiling or a backwards timeline (review findings)
+    bad = spark.createDataFrame(
+        [("evil.test", None), ("x.test", -5.0)], "host string, delay_s double"
+    )
+    got_bad = {
+        r["url"]: r["fetch_offset_ms"]
+        for r in schedule_fetches(frontier, bad, default_delay_s=1.0).collect()
+    }
+    assert got_bad["https://evil.test/b"] == 1000
+    got_negd = {
+        r["url"]: r["fetch_offset_ms"]
+        for r in schedule_fetches(frontier, None, default_delay_s=-3.0).collect()
+    }
+    assert got_negd["https://evil.test/b"] == 0  # negative default floors at 0

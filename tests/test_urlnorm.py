@@ -170,43 +170,9 @@ def test_resolution_matches_stdlib_urljoin(spark):
     # the same canonicalization applied in pure Python. Generation stays
     # inside the engine's documented bounds (dot-segment nesting <= 4,
     # dots never inside query strings).
-    import re
-    from urllib.parse import urljoin, urlsplit
-
-    def remove_dot_segments(path):
-        out = []
-        for seg in path.split("/"):
-            if seg == ".":
-                continue
-            if seg == "..":
-                if len(out) > 1:
-                    out.pop()
-            else:
-                out.append(seg)
-        # preserve trailing "/" semantics of "/." and "/.."
-        if path.endswith(("/.", "/..")):
-            out.append("")
-        return "/".join(out)
-
-    def py_oracle(base, href):
-        h = href.strip()
-        if not h or h.startswith("#"):
-            return None
-        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):", h)
-        if m and m.group(1).lower() not in ("http", "https"):
-            return None
-        s = urlsplit(urljoin(base, h))
-        scheme = s.scheme.lower()
-        host = s.netloc.lower()
-        if scheme == "http" and host.endswith(":80"):
-            host = host[: -len(":80")]
-        if scheme == "https" and host.endswith(":443"):
-            host = host[: -len(":443")]
-        path = remove_dot_segments(s.path) or "/"
-        if not path.startswith("/"):
-            path = "/" + path
-        q = f"?{s.query}" if s.query else ""
-        return f"{scheme}://{host}{path}{q}"
+    # THE shared stdlib oracle (tests/conftest.py) — also used by the
+    # hypothesis fuzz suite, so the two can never disagree on the contract
+    from tests.conftest import stdlib_url_oracle as py_oracle
 
     cases = _seeded_cases()
 

@@ -7,51 +7,17 @@ each hypothesis example is a BATCH of (base, href) pairs run through
 ONE Spark job, so shrinking still isolates a minimal failing pair
 while per-example cost stays one collect."""
 
-import re
-from urllib.parse import urljoin, urlsplit
+import pytest
 
-from hypothesis import given, settings
-from hypothesis import strategies as st
-from pyspark.sql import functions as F
+pytest.importorskip("hypothesis")  # degrade to skip in minimal envs
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from tests.conftest import stdlib_url_oracle as _stdlib_oracle  # noqa: E402
 
 _SEG = st.text(alphabet="abcdxyzAB19-_", min_size=1, max_size=6)
-
-
-def _stdlib_oracle(base, href):
-    """Same rules as test_urlnorm.test_resolution_matches_stdlib_urljoin."""
-
-    def remove_dot_segments(path):
-        out = []
-        for seg in path.split("/"):
-            if seg == ".":
-                continue
-            if seg == "..":
-                if len(out) > 1:
-                    out.pop()
-            else:
-                out.append(seg)
-        if path.endswith(("/.", "/..")):
-            out.append("")
-        return "/".join(out)
-
-    h = href.strip()
-    if not h or h.startswith("#"):
-        return None
-    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):", h)
-    if m and m.group(1).lower() not in ("http", "https"):
-        return None
-    s = urlsplit(urljoin(base, h))
-    scheme = s.scheme.lower()
-    host = s.netloc.lower()
-    if scheme == "http" and host.endswith(":80"):
-        host = host[: -len(":80")]
-    if scheme == "https" and host.endswith(":443"):
-        host = host[: -len(":443")]
-    path = remove_dot_segments(s.path) or "/"
-    if not path.startswith("/"):
-        path = "/" + path
-    q = f"?{s.query}" if s.query else ""
-    return f"{scheme}://{host}{path}{q}"
 
 
 @st.composite

@@ -1198,14 +1198,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def graph_stats(spark, sf):
         # .desc stats + the round-4 census columns (reciprocity + the
-        # integer assortativity sums) in the same 1-row slot — gate-cap
-        # merging; each census column hash-fails independently.
+        # integer assortativity sums) + the incremental triangle delta
+        # in the same 1-row slot — gate-cap merging; each column
+        # hash-fails independently. The delta runs Spark's delta-LOCAL
+        # inclusion-exclusion (algos/triangles.triangle_delta) against a
+        # deterministic old = edges with (src+dst)%19 != 0 subset, while
+        # the oracle RECOUNTS both graphs and their intersection — so a
+        # hash match proves the incremental path equals full recounts
+        # cross-engine.
+        from fog_spark.algos.triangles import triangle_delta
+
         s = G.graph_stats(_edges(spark, sf))
         base = spark.createDataFrame(
             [(s["min_vertex_id"], s["max_vertex_id"], s["num_edges"], s["max_out_edges"])],
             "min_vertex_id long, max_vertex_id long, num_edges long, max_out_edges long",
         )
-        return base.crossJoin(F.broadcast(G.census_stats(_edges(spark, sf))))
+        e = _edges(spark, sf)
+        old = e.where((F.col("src") + F.col("dst")) % 19 != 0)
+        td = triangle_delta(old, e).select(
+            F.col("n_added").alias("td_added"),
+            F.col("n_removed").alias("td_removed"),
+            "tri_gained",
+            "tri_lost",
+            F.col("delta").alias("tri_delta"),
+        )
+        return base.crossJoin(F.broadcast(G.census_stats(e))).crossJoin(
+            F.broadcast(td)
+        )
 
     def adjacency_csr(spark, sf):
         adj = G.build_adjacency(_edges(spark, sf), hub_cap=None)
@@ -2131,7 +2150,29 @@ px AS (SELECT od.c AS x, ig.c AS y FROM ed
 s AS (SELECT COUNT(*) AS n, COALESCE(SUM(x), 0) AS sxo, COALESCE(SUM(y), 0) AS syi,
              COALESCE(SUM(x*y), 0) AS sxy, COALESCE(SUM(x*x), 0) AS sx2,
              COALESCE(SUM(y*y), 0) AS sy2 FROM px),
-r AS (SELECT COUNT(*) AS nr FROM ed a JOIN ed b ON a.src = b.dst AND a.dst = b.src)
+r AS (SELECT COUNT(*) AS nr FROM ed a JOIN ed b ON a.src = b.dst AND a.dst = b.src),
+-- incremental-triangle-delta oracle: RECOUNT new/old/common in full
+-- (Spark runs the delta-local inclusion-exclusion; agreement proves
+-- the incremental path). old = edges with (src+dst)%19 != 0.
+cn AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM e WHERE src <> dst),
+co AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM e WHERE src <> dst AND (src + dst) % 19 <> 0),
+cc AS (SELECT a, b FROM cn INTERSECT SELECT a, b FROM co),
+tn AS (SELECT COUNT(*) AS t FROM cn e1
+       JOIN cn e2 ON e2.a = e1.b JOIN cn e3 ON e3.a = e1.a AND e3.b = e2.b),
+tl AS (SELECT COUNT(*) AS t FROM co e1
+       JOIN co e2 ON e2.a = e1.b JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b),
+tc AS (SELECT COUNT(*) AS t FROM cc e1
+       JOIN cc e2 ON e2.a = e1.b JOIN cc e3 ON e3.a = e1.a AND e3.b = e2.b),
+td AS (SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cn WHERE NOT EXISTS
+         (SELECT 1 FROM co WHERE co.a = cn.a AND co.b = cn.b)) AS td_added,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM co WHERE NOT EXISTS
+         (SELECT 1 FROM cn WHERE cn.a = co.a AND cn.b = co.b)) AS td_removed,
+        CAST((SELECT t FROM tn) - (SELECT t FROM tc) AS BIGINT) AS tri_gained,
+        CAST((SELECT t FROM tl) - (SELECT t FROM tc) AS BIGINT) AS tri_lost,
+        CAST((SELECT t FROM tn) - (SELECT t FROM tl) AS BIGINT) AS tri_delta)
 SELECT (SELECT MIN(LEAST(src, dst)) FROM e) AS min_vertex_id,
        (SELECT MAX(GREATEST(src, dst)) FROM e) AS max_vertex_id,
        (SELECT COUNT(*) FROM e) AS num_edges,
@@ -2143,8 +2184,9 @@ SELECT (SELECT MIN(LEAST(src, dst)) FROM e) AS min_vertex_id,
            AS reciprocity_permille,
        CAST(s.sxo AS BIGINT) AS sxo, CAST(s.syi AS BIGINT) AS syi,
        CAST(s.sxy AS BIGINT) AS sxy, CAST(s.sx2 AS BIGINT) AS sx2,
-       CAST(s.sy2 AS BIGINT) AS sy2
-FROM s, r""",
+       CAST(s.sy2 AS BIGINT) AS sy2,
+       td.td_added, td.td_removed, td.tri_gained, td.tri_lost, td.tri_delta
+FROM s, r, td""",
         "adjacency_csr": f"""
 WITH e AS ({EDGES})
 SELECT src, COUNT(*) AS outdeg,

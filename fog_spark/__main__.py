@@ -50,6 +50,7 @@ ALGOS = (
     "salsa",
     "pagerank-warm",
     "edge-delta",
+    "triangle-delta",
     "bowtie",
     "mis",
     "ktruss",
@@ -516,6 +517,13 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, e: DataFrame) -> Da
         if not args.edges_old:
             raise SystemExit("--algo edge-delta requires --edges-old")
         return edge_delta(spark.read.parquet(args.edges_old), e)
+    if args.algo == "triangle-delta":
+        # incremental triangle-count delta from the edge delta alone
+        from fog_spark.algos.triangles import triangle_delta
+
+        if not args.edges_old:
+            raise SystemExit("--algo triangle-delta requires --edges-old")
+        return triangle_delta(spark.read.parquet(args.edges_old), e)
     if args.algo == "mis":
         from fog_spark.algos.mis import maximal_independent_set
 

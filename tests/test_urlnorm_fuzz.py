@@ -112,3 +112,25 @@ def test_redirect_resolution_fuzz(spark, mapping):
         for r in resolve_redirects(df, max_hops=8).collect()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_census_fuzz(spark, pairs):
+    """census_stats over arbitrary small multigraphs (duplicates and
+    self-loops arise freely) vs the pure-Python replay — including the
+    empty/self-loop-only edge the ANSI guard covers."""
+    from fog_spark import graph as G
+    from tests.test_graph import _census_oracle
+
+    want, _r = _census_oracle(pairs)
+    rows = [(int(a), int(b), 1.0) for a, b in pairs]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    got = G.census_stats(df).collect()[0].asDict()
+    assert got == want

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from fog_spark.functions.urlnorm import page_links
 from fog_spark.operators.hostgraph import host_graph, host_of
+from fog_spark.operators.robots import MAX_CRAWL_DELAY_S
 
 
 def crawl_frontier(
@@ -285,11 +286,12 @@ def trap_candidates(
     return per.where(F.col("n_urls") >= min_urls)
 
 
-# untrusted Crawl-delay clamp: values come from arbitrary robots.txt
-# bodies, and an absurd one ('Crawl-delay: 1e18') would overflow the ms
-# cast / the offset multiply under ANSI and kill the whole scheduling
-# job. Real crawlers cap the directive far lower; an hour is generous.
-MAX_CRAWL_DELAY_S = 3600.0
+# The untrusted Crawl-delay clamp MAX_CRAWL_DELAY_S now lives in
+# operators/robots.py (imported above): values come from arbitrary
+# robots.txt bodies, and an absurd one ('Crawl-delay: 1e18') would
+# overflow the ms cast / the offset multiply under ANSI and kill the
+# whole scheduling job. schedule_fetches keeps its own clamp as
+# defense-in-depth for delay frames built outside crawl_delays.
 
 
 def schedule_fetches(
@@ -308,8 +310,8 @@ def schedule_fetches(
     integer milliseconds (delay rounds to ms once), so the timeline is
     engine-independent and a dispatcher can shard it by offset range.
     Delays clamp to [0, MAX_CRAWL_DELAY_S] — hostile robots values must
-    not abort the job, and NULL or negative rows fall through to the
-    default rather than the clamp ceiling — and dedup per host
+    not abort the job, and NULL, NaN or negative rows fall through to
+    the default rather than the clamp ceiling — and dedup per host
     defensively (largest wins) even though crawl_delays already emits
     one valid row per host.
 
@@ -330,12 +332,16 @@ def schedule_fetches(
     ] + [F.col(url_col).asc()]
     f = frontier
     if delays is not None:
-        # two-sided guard: a NULL or negative delay_s row falls through
-        # to the default (F.least alone would turn NULL into the MAX —
-        # skipping nulls — and pass negatives straight through)
+        # two-sided guard: a NULL, NaN or negative delay_s row falls
+        # through to the default (F.least alone would turn NULL into the
+        # MAX — skipping nulls — and pass negatives straight through;
+        # NaN >= 0 is TRUE under Spark's NaN-is-largest ordering, so
+        # 'Crawl-delay: NaN' needs its own guard or it clamps to the
+        # ceiling instead of defaulting)
         ds = F.col("_ds")
         bounded = F.when(
-            ds.isNotNull() & (ds >= 0), F.least(ds, F.lit(MAX_CRAWL_DELAY_S))
+            ds.isNotNull() & ~F.isnan(ds) & (ds >= 0),
+            F.least(ds, F.lit(MAX_CRAWL_DELAY_S)),
         )
         d = (
             delays.groupBy(F.col("host").alias("_dh"))

@@ -325,10 +325,15 @@ def bm25f_topk_micro(
     n_docs, total = int(stats["n"]), int(stats["tot"])
     avgdl_milli = max(1, total // n_docs) if n_docs else 1
     dft = T.groupBy("term").agg(F.count("*").alias("df"))
+    # left-join DL: a doc_id present in some field's postings but absent
+    # from every field's lengths frame scores with _dl = 0 (the docstring
+    # contract "a doc missing from a field's frames contributes 0"),
+    # instead of being silently dropped by an inner join
     scored = (
         T.join(F.broadcast(qdf), "term")
         .join(F.broadcast(dft), "term")
-        .join(DL, "doc_id")
+        .join(DL, "doc_id", "left")
+        .withColumn("_dl", F.coalesce(F.col("_dl"), F.lit(0).cast("long")))
     )
     expr = f"""
       (( {1000 * n_docs} div df ) *

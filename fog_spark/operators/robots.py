@@ -291,6 +291,12 @@ def frontier_allowed(
     )
 
 
+# hostile robots values must never dictate the fetch timeline: delays
+# clamp here at the source, so EVERY consumer of crawl_delays (not just
+# schedule_fetches) sees [0, MAX_CRAWL_DELAY_S]
+MAX_CRAWL_DELAY_S = 3600.0
+
+
 def crawl_delays(
     robots: DataFrame, host_col: str = "host", body_col: str = "body",
     agent: str | None = None,
@@ -300,23 +306,29 @@ def crawl_delays(
     group naming the agent REPLACES the ``*`` group entirely (so a
     named group WITHOUT a Crawl-delay line means no delay, not the
     ``*`` group's); within the selected scope the LAST VALID delay line
-    wins (files repeating the directive mean the later one). Non-numeric
-    AND negative values are ignored — they never overwrite an earlier
-    valid delay. Hosts without an effective delay are absent — callers
-    coalesce a default. Fractional values ("0.5") are legal and common.
-    Output is one row per host (duplicate robots captures keep the
-    politest = largest delay). Same per-row line-fold shape as
-    parse_robots."""
+    wins (files repeating the directive mean the later one). Non-numeric,
+    NaN AND negative values are ignored — they never overwrite an earlier
+    valid delay ("Crawl-delay: NaN" try_casts to a double NaN which Spark
+    orders above 0, so NaN needs its own guard). Hosts without an
+    effective delay are absent — callers coalesce a default. Fractional
+    values ("0.5") are legal and common. Output is one row per host
+    (duplicate robots captures keep the politest = largest delay),
+    clamped to [0, MAX_CRAWL_DELAY_S] so hostile magnitudes (1e18,
+    "Infinity") never reach a consumer unclamped. Same per-row line-fold
+    shape as parse_robots."""
     def delay_step(side):
         def f(acc, s):
-            # a non-numeric or negative value is IGNORED (never
+            # a non-numeric, NaN or negative value is IGNORED (never
             # overwrites an earlier valid delay); NULL >= 0 is NULL,
-            # which F.when treats as false
+            # which F.when treats as false, but NaN >= 0 is TRUE under
+            # Spark's NaN-is-largest ordering, hence the isnan guard
+            v = s["v"].try_cast("double")
             return F.when(
                 (s["k"] == "crawl-delay")
                 & acc[side]
-                & (s["v"].try_cast("double") >= 0),
-                s["v"].try_cast("double"),
+                & ~F.isnan(v)
+                & (v >= 0),
+                v,
             ).otherwise(acc[f"{side}_delay"])
 
         return f
@@ -338,5 +350,7 @@ def crawl_delays(
         # politest (largest) declared delay so a duplicate host can never
         # multiply rows through the scheduler's join
         .groupBy("host")
-        .agg(F.max("delay_s").alias("delay_s"))
+        .agg(
+            F.least(F.max("delay_s"), F.lit(MAX_CRAWL_DELAY_S)).alias("delay_s")
+        )
     )

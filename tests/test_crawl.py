@@ -316,3 +316,14 @@ def test_schedule_fetches_hostile_delay_and_keep_cols(spark):
         for r in schedule_fetches(frontier, None, default_delay_s=-3.0).collect()
     }
     assert got_negd["https://evil.test/b"] == 0  # negative default floors at 0
+    # NaN joins NULL/negative in defaulting: Spark orders NaN ABOVE 0,
+    # so without the isnan guard a NaN delay would clamp to the ceiling
+    # instead of falling through to the default (advice finding)
+    nan = spark.createDataFrame(
+        [("evil.test", float("nan"))], "host string, delay_s double"
+    )
+    got_nan = {
+        r["url"]: r["fetch_offset_ms"]
+        for r in schedule_fetches(frontier, nan, default_delay_s=1.0).collect()
+    }
+    assert got_nan["https://evil.test/b"] == 1000

@@ -194,6 +194,28 @@ def test_bm25f_single_field_equals_plain(spark):
     assert sorted(map(key, f2)) == sorted(map(key, plain2))
 
 
+def test_bm25f_doc_missing_from_all_lengths_scores_dl0(spark):
+    """A doc_id present in a field's postings but absent from EVERY
+    field's lengths frame scores with _dl = 0 (the docstring's 'a doc
+    missing from a field's frames contributes 0'), instead of being
+    silently dropped by an inner join with DL (advice finding). Only
+    reachable with hand-built inconsistent field inputs."""
+    from fog_spark.operators.index import bm25f_topk_micro
+
+    p = spark.createDataFrame(
+        [("spark", 0, 3), ("spark", 1, 3)], "term string, doc_id long, tf long"
+    )
+    # doc 1 has postings but NO lengths row anywhere
+    l = spark.createDataFrame([(0, 10)], "doc_id long, dl long")
+    got = {
+        r["doc_id"]: r["score_micro"]
+        for r in bm25f_topk_micro([(p, l)], [1000], ["spark"], k=10).collect()
+    }
+    assert set(got) == {0, 1}
+    # _dl = 0 minimizes the length penalty, so doc 1 outranks doc 0
+    assert got[1] > got[0]
+
+
 def _bm25f_replay(field_docs, weights, queries, k1=1_200_000, b=750_000):
     """Pure-Python replay of bm25f_topk_micro: field_docs is a list of
     {doc: tokens} maps aligned with weights (milli)."""

@@ -337,6 +337,34 @@ def test_crawl_delays_group_selection(spark):
     assert len(rows5) == 1 and rows5[0]["delay_s"] == 6.0
 
 
+def test_crawl_delays_nan_and_clamp(spark):
+    """'Crawl-delay: NaN' is junk, not a delay: try_cast yields a double
+    NaN which Spark orders ABOVE 0, so without its own guard it would
+    overwrite an earlier valid delay and then clamp to the ceiling
+    (advice finding). And crawl_delays itself clamps hostile magnitudes
+    so EVERY consumer sees [0, MAX_CRAWL_DELAY_S], not just
+    schedule_fetches (advice finding)."""
+    from fog_spark.operators.robots import MAX_CRAWL_DELAY_S, crawl_delays
+
+    # NaN after a valid value is ignored (4 survives); NaN alone -> no row
+    body = "User-agent: *\nCrawl-delay: 4\nCrawl-delay: NaN"
+    r = spark.createDataFrame([("h.test", body)], "host string, body string")
+    assert {x["delay_s"] for x in crawl_delays(r).collect()} == {4.0}
+    r2 = spark.createDataFrame(
+        [("h2.test", "User-agent: *\nCrawl-delay: NaN")],
+        "host string, body string",
+    )
+    assert crawl_delays(r2).collect() == []
+    # hostile magnitudes clamp AT THE SOURCE
+    r3 = spark.createDataFrame(
+        [("h3.test", "User-agent: *\nCrawl-delay: 1e18"),
+         ("h4.test", "User-agent: *\nCrawl-delay: Infinity")],
+        "host string, body string",
+    )
+    got = {x["host"]: x["delay_s"] for x in crawl_delays(r3).collect()}
+    assert got == {"h3.test": MAX_CRAWL_DELAY_S, "h4.test": MAX_CRAWL_DELAY_S}
+
+
 def test_group_boundaries_closed_by_any_directive(spark):
     """A directive that is not a rule still closes a User-agent header
     block: UA a / Disallow / UA b must be TWO groups (review-of-review

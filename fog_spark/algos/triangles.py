@@ -141,11 +141,23 @@ def triangle_delta(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
     Returns (n_added, n_removed, tri_gained, tri_lost, delta) — pinned
     by tests against full-recount differences on fixture and seeded
     random graph pairs.
+
+    The four shared frames (both canonical sets and both delta sides)
+    are checkpointed ONCE up front: the function issues ~8 actions
+    (two delta counts plus N1/N2/N3 per side), and without caching each
+    action re-paid the canonicalization distinct-shuffles and the
+    anti-joins from scratch — invisible at gate scale, real money on a
+    crawl-sized delta. Blocks are reclaimed on exit via the
+    Materializer (plain unpersist is a no-op for checkpoint-backed
+    frames).
     """
-    old_c = _canonical_undirected(edges_old)
-    new_c = _canonical_undirected(edges_new)
-    added = new_c.join(old_c, ["a", "b"], "left_anti")
-    removed = old_c.join(new_c, ["a", "b"], "left_anti")
+    from fog_spark.plans.materialize import Materializer
+
+    M = Materializer(edges_new.sparkSession)
+    old_c = M.checkpoint(_canonical_undirected(edges_old))
+    new_c = M.checkpoint(_canonical_undirected(edges_new))
+    added = M.checkpoint(new_c.join(old_c, ["a", "b"], "left_anti"))
+    removed = M.checkpoint(old_c.join(new_c, ["a", "b"], "left_anti"))
 
     def touched(s: DataFrame, g: DataFrame) -> int:
         # directed both ways for endpoint joins
@@ -178,6 +190,8 @@ def triangle_delta(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
     n_added, n_removed = added.count(), removed.count()
     gained = touched(added, new_c) if n_added else 0
     lost = touched(removed, old_c) if n_removed else 0
+    for f in (added, removed, old_c, new_c):
+        M.free(f)
     spark = edges_new.sparkSession
     return spark.createDataFrame(
         [(n_added, n_removed, gained, lost, gained - lost)],

@@ -83,6 +83,22 @@ def test_mixed_add_remove_same_triangle_region(spark):
     _check(spark, old, new)
 
 
+def test_shared_frames_cached_and_reclaimed(spark):
+    """triangle_delta checkpoints its four shared frames (old/new
+    canonical sets, added/removed) so the ~8 downstream actions scan
+    cached RDDs instead of re-paying the canonicalization and anti-joins
+    (verdict r04 finding #1) — and frees every block on exit: the
+    persistent-RDD census must return to its pre-call value even on the
+    both-sides-active path."""
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    old = make_edges_df(spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)])
+    new = make_edges_df(spark, [(0, 1), (1, 2), (3, 4), (4, 5), (5, 3), (3, 5), (0, 4)])
+    row = triangle_delta(old, new).collect()[0]
+    assert row["delta"] == triangle_count(new) - triangle_count(old)
+    assert sc._jsc.getPersistentRDDs().size() == before
+
+
 def test_cli_triangle_delta(spark, tmp_path):
     from fog_spark.__main__ import main
 

@@ -47,6 +47,50 @@ def test_sample_neighbors_match_oracle(spark, gname, hash_fn):
     assert got == GX.sample_neighbors_oracle(edges, k=2, hash_fn=hash_fn)
 
 
+def test_sample_neighbors_hub_salted_two_phase(spark):
+    """Planted 100k-out-degree hub: no task may sort the hub's full edge
+    list (r04 verdict finding #2). Pins (a) the salted two-phase result
+    equals the brute-force k-smallest-(H, dst) set, and (b) the phase-1
+    window partition key (src, salt) splits the hub into groups far
+    smaller than its degree."""
+    from pyspark.sql import functions as F
+
+    from fog_spark.hashing import pmod
+    from fog_spark.operators.sampling import _SAMPLE_SALTS, _edge_hash
+
+    D, K = 100_000, 5
+    # src must be LONG: xxhash64 is width-sensitive and sample_neighbors
+    # normalizes to long before hashing
+    e = spark.range(D).select(
+        F.lit(7).cast("long").alias("src"), (F.col("id") * 13 + 1).alias("dst")
+    )
+    got = {
+        (r["src"], r["dst"]) for r in sample_neighbors(e, k=K).collect()
+    }
+    # brute-force oracle: k smallest (xxhash64(src,dst), dst) via Spark's
+    # own hash values collected once
+    hv = {
+        r["dst"]: r["h"]
+        for r in e.select("dst", F.xxhash64("src", "dst").alias("h")).collect()
+    }
+    want = {
+        (7, d) for d in sorted(hv, key=lambda d: (hv[d], d))[:K]
+    }
+    assert got == want
+    # phase-1 group sizes: max (src, salt) group is ~degree/salts, never
+    # the full hub edge list
+    sizes = (
+        e.withColumn(
+            "_salt", pmod(F.xxhash64(F.lit(-3), F.col("dst")), _SAMPLE_SALTS)
+        )
+        .groupBy("src", "_salt")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert sizes < 3 * D // _SAMPLE_SALTS, sizes
+
+
 def test_sample_neighbors_caps_fanout(spark):
     edges, n = GX.ALL_GRAPHS["star_hub"]
     df = make_edges_df(spark, edges)

@@ -123,6 +123,120 @@ def build_adjacency(
     return out.select("src", "salt", "outdeg", "dsts")
 
 
+RANK_CHUNKS = 64
+
+
+def _sample_rank_cuts(
+    e: DataFrame, n_chunks: int, sample_target: int, n_edges: int
+) -> list[int]:
+    """Ascending dst range cuts for chunked ranking: a deterministic
+    hash-sample of ~``sample_target`` edges collected once (bounded
+    driver-side), quantiled into <= n_chunks-1 distinct cut values.
+    The cuts only steer load balance — ranked_out_edges' output is
+    invariant to them — but the hash filter keeps them reproducible."""
+    denom = 1_000_000
+    rate = min(denom, max(1, (sample_target * denom) // max(1, n_edges)))
+    sample = (
+        e.where(pmod(F.xxhash64(F.lit(-11), "src", "dst"), denom) < rate)
+        .select("dst")
+        .collect()
+    )
+    dsts = sorted(r["dst"] for r in sample)
+    if not dsts:
+        return []
+    step = max(1, len(dsts) // n_chunks)
+    return sorted({dsts[i] for i in range(step, len(dsts), step)})
+
+
+def rank_chunk_expr(dst, cuts: list[int]):
+    """Chunk id for ``dst`` under ``cuts``: #cuts <= dst — monotone in
+    dst, so ordering by (chunk, dst) IS ordering by dst. Shared with
+    tests so load-balance assertions use the exact production mapping."""
+    chunk = F.lit(0)
+    for c in cuts:
+        chunk = chunk + F.when(dst >= F.lit(c), 1).otherwise(0)
+    return chunk.cast("int")
+
+
+def ranked_out_edges(
+    edges: DataFrame,
+    n_chunks: int = RANK_CHUNKS,
+    hub_threshold: int = DEFAULT_HUB_CAP,
+    sample_target: int = 65_536,
+) -> DataFrame:
+    """``(src, dst, idx)`` — idx is the 0-based rank of the edge within
+    src's out-edges ordered by ascending dst (multi-edge ties share a
+    dst value, so any tie order yields the same (src, idx) -> dst map).
+    This is the ranked edge table the walk operators join per step.
+
+    Hub-safe: a plain ``row_number() over (partition by src order by
+    dst)`` sorts a 10^8-degree hub's whole edge list in ONE task (the
+    window-over-skewable-key trap). When the graph's max out-degree
+    exceeds ``hub_threshold``, ranking instead runs in two phases — the
+    CSR build's salting applied to ranking:
+
+    1. Global dst range cuts from a deterministic hash-sample of edges
+       (~``sample_target`` rows collected once, the bounded-driver-side
+       discipline of the IVF codebook). ``chunk = #cuts <= dst`` is
+       monotone in dst, so ordering by (chunk, dst) IS ordering by dst.
+    2. ``row_number`` within (src, chunk) — each hub chunk holds
+       ~degree/n_chunks edges — plus per-(src, chunk) prefix offsets
+       (counts cumsum'd over the <= n_chunks count rows per src), so
+       ``idx = offset + local_rank - 1`` equals the exact global rank.
+
+    The produced idx is identical on both paths and independent of the
+    sampled cuts (they only choose which task ranks which rows), so
+    walk corpora are byte-identical to the single-window build. Cost:
+    one vertex-sized agg job + (hub path only) one bounded sample
+    collect; paid once per build, reused every step.
+    """
+    e = normalize_edges(edges).select("src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    stats = deg.agg(
+        F.max("_deg").alias("m"), F.coalesce(F.sum("_deg"), F.lit(0)).alias("n")
+    ).collect()[0]
+    maxdeg, n_edges = int(stats["m"] or 0), int(stats["n"])
+
+    from pyspark.sql.window import Window
+
+    if maxdeg <= hub_threshold or n_chunks <= 1:
+        w = Window.partitionBy("src").orderBy("dst")
+        return e.select(
+            "src", "dst", (F.row_number().over(w) - 1).cast("long").alias("idx")
+        )
+
+    # ---- hub path: range-chunked two-phase ranking
+    cuts = _sample_rank_cuts(e, n_chunks, sample_target, n_edges)
+    if not cuts:
+        # degenerate sample (empty or constant): fall back to one chunk
+        w = Window.partitionBy("src").orderBy("dst")
+        return e.select(
+            "src", "dst", (F.row_number().over(w) - 1).cast("long").alias("idx")
+        )
+    eb = e.withColumn("_b", rank_chunk_expr(F.col("dst"), cuts))
+    cnt = eb.groupBy("src", "_b").agg(F.count("*").alias("_c"))
+    w_off = (
+        Window.partitionBy("src")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # <= n_chunks+1 count rows per src: the offset window is over chunk
+    # COUNTS, never edges — bounded whatever the hub degree
+    off = cnt.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).cast("long")
+    ).select("src", "_b", "_off")
+    w_loc = Window.partitionBy("src", "_b").orderBy("dst")
+    return (
+        eb.join(off, ["src", "_b"])
+        .withColumn("_rn", F.row_number().over(w_loc))
+        .select(
+            "src",
+            "dst",
+            (F.col("_off") + F.col("_rn") - 1).cast("long").alias("idx"),
+        )
+    )
+
+
 def build_in_adjacency(edges: DataFrame, hub_cap: int | None = DEFAULT_HUB_CAP) -> DataFrame:
     """In-edge adjacency (dst-grouped) — FOG's .in-index/.in-edge analog.
     In-edges carry no weight, matching headers/types.hpp:27-33."""

@@ -52,7 +52,6 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from fog_spark import graph as G
 from fog_spark.plans.materialize import _SER, Materializer
@@ -144,16 +143,18 @@ def node2vec_walks(
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     e = G.normalize_edges(edges).select("src", "dst")
-    w_src = Window.partitionBy("src").orderBy("dst")
     deg = e.groupBy(F.col("src").alias("_gsrc")).agg(F.count("*").alias("_gdeg"))
     # ranked out-edges carrying deg(dst) — see operators/walks.py for why
     # persist (not localCheckpoint) keeps the (src, idx) partitioning
-    # visible so every step's pick join plans with no edge-side exchange
+    # visible so every step's pick join plans with no edge-side exchange.
+    # graph.ranked_out_edges is hub-safe (range-chunked two-phase rank
+    # past hub_threshold) with byte-identical idx either way.
     ranked = (
-        e.select(
+        G.ranked_out_edges(e)
+        .select(
             F.col("src").alias("_rsrc"),
             F.col("dst").alias("_rdst"),
-            (F.row_number().over(w_src) - F.lit(1)).cast("long").alias("_ridx"),
+            F.col("idx").alias("_ridx"),
         )
         .join(deg, F.col("_rdst") == F.col("_gsrc"), "left")
         .select("_rsrc", "_rdst", "_ridx", F.col("_gdeg").alias("_rddeg"))

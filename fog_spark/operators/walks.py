@@ -44,7 +44,6 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from fog_spark import graph as G
 from fog_spark.plans.materialize import _SER, Materializer
@@ -90,12 +89,12 @@ def random_walks(
     # out-degree of the EDGE TARGET (_rddeg). Carrying deg(dst) on the
     # edge row means the walk state always knows deg(cur) — fetched when
     # cur was picked — so each step is ONE join, not a deg join plus a
-    # pick join. The window sorts each src group once at build — same
-    # cost class as the CSR adjacency build — and is reused for every
-    # step. Unique column names (_r*/_g*) because ranked/deg share
-    # lineage with e and the per-step joins would otherwise be ambiguous
-    # self-joins.
-    w_src = Window.partitionBy("src").orderBy("dst")
+    # pick join. The ranking comes from graph.ranked_out_edges: hub-safe
+    # (range-chunked two-phase rank past hub_threshold — no task ever
+    # sorts a hub's full edge list), byte-identical idx either way,
+    # built once and reused for every step. Unique column names
+    # (_r*/_g*) because ranked/deg share lineage with e and the per-step
+    # joins would otherwise be ambiguous self-joins.
     deg = e.groupBy(F.col("src").alias("_gsrc")).agg(F.count("*").alias("_gdeg"))
     # persist (NOT localCheckpoint): an InMemoryTableScan keeps the
     # repartition's HashPartitioning visible to every step's planner, so
@@ -103,10 +102,11 @@ def random_walks(
     # reports UnknownPartitioning and would re-shuffle (or re-broadcast)
     # the full edge table once per step.
     ranked = (
-        e.select(
+        G.ranked_out_edges(e)
+        .select(
             F.col("src").alias("_rsrc"),
             F.col("dst").alias("_rdst"),
-            (F.row_number().over(w_src) - F.lit(1)).cast("long").alias("_ridx"),
+            F.col("idx").alias("_ridx"),
         )
         .join(deg, F.col("_rdst") == F.col("_gsrc"), "left")
         .select("_rsrc", "_rdst", "_ridx", F.col("_gdeg").alias("_rddeg"))

@@ -161,3 +161,74 @@ def test_census_empty_and_selfloop_only(spark):
         "n_directed": 0, "n_reciprocal": 0, "reciprocity_permille": 0,
         "sxo": 0, "syi": 0, "sxy": 0, "sx2": 0, "sy2": 0,
     }
+
+
+def test_ranked_out_edges_chunked_equals_window(spark):
+    """The hub path (range-chunked two-phase rank) must produce the
+    EXACT global ascending-dst rank the single-window path produces —
+    byte-identical walk corpora depend on it. Forced via hub_threshold=1
+    on graphs with multi-edges and shared prefixes."""
+    from pyspark.sql import functions as F
+
+    from tests.graphs import ALL_GRAPHS
+
+    for name in ("two_triangles", "star_hub", "chain", "cycle_pair"):
+        if name not in ALL_GRAPHS:
+            continue
+        edges, _n = ALL_GRAPHS[name]
+        e = make_edges_df(spark, edges)
+        win = {
+            (r["src"], r["idx"]): r["dst"]
+            for r in G.ranked_out_edges(e, hub_threshold=10**9).collect()
+        }
+        chunked = {
+            (r["src"], r["idx"]): r["dst"]
+            for r in G.ranked_out_edges(
+                e, n_chunks=4, hub_threshold=1, sample_target=8
+            ).collect()
+        }
+        assert chunked == win, name
+    # multi-edges: an edge listed twice occupies two consecutive idx slots
+    e = make_edges_df(spark, [(0, 5), (0, 5), (0, 3)])
+    got = {
+        (r["src"], r["idx"]): r["dst"]
+        for r in G.ranked_out_edges(e, n_chunks=4, hub_threshold=1,
+                                    sample_target=8).collect()
+    }
+    assert got == {(0, 0): 3, (0, 1): 5, (0, 2): 5}
+
+
+def test_ranked_out_edges_hub_bounded_groups(spark):
+    """Planted 100k-out-degree hub: the chunked build's window partition
+    key (src, chunk) must split the hub into groups far smaller than its
+    degree (r04 verdict finding #2), while idx still equals the exact
+    global rank."""
+    from pyspark.sql import functions as F
+
+    D = 100_000
+    hub = spark.range(D).select(
+        F.lit(7).cast("long").alias("src"), (F.col("id") * 13 + 1).alias("dst")
+    )
+    tail = spark.range(50).select(
+        (F.col("id") + 100).alias("src"), (F.col("id") * 7).alias("dst")
+    )
+    e = hub.unionByName(tail)
+    ranked = G.ranked_out_edges(e, hub_threshold=50_000)
+    # exact rank: the hub's dsts are 1, 14, 27, ... so idx * 13 + 1 = dst
+    mism = ranked.where(
+        (F.col("src") == 7) & (F.col("dst") != F.col("idx") * 13 + 1)
+    ).count()
+    assert mism == 0
+    assert ranked.count() == D + 50
+    # load balance: replay the production cuts/chunk mapping and assert
+    # no (src, chunk) group approaches the hub's degree
+    cuts = G._sample_rank_cuts(e.select("src", "dst"), 64, 65_536, D + 50)
+    assert len(cuts) > 8
+    sizes = (
+        e.withColumn("_b", G.rank_chunk_expr(F.col("dst"), cuts))
+        .groupBy("src", "_b")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert sizes < D // 8, sizes

@@ -216,3 +216,34 @@ def test_trustrank_duplicate_seeds_deduped(spark):
     a = {r["id"]: r["rank_milli"] for r in eng.run(TrustRankMilli(seeds=[0, 4], niters=4), df).state.collect()}
     b = {r["id"]: r["rank_milli"] for r in eng.run(TrustRankMilli(seeds=[0, 4, 0, 4], niters=4), df).state.collect()}
     assert a == b
+
+
+def test_coreness_hub_histogram_is_tiny(spark):
+    """Planted 100k-degree star hub whose leaves all have degree 1: the
+    per-round h-index window now runs over the (dst, est) HISTOGRAM, so
+    the hub's window input is the count of DISTINCT neighbor estimates
+    (here ~1-2 rows), not its 100k edge rows (r04 verdict finding #2).
+    Pins both the histogram bound and the exact coreness values."""
+    from pyspark.sql import functions as F
+
+    from fog_spark.algos.kcore import coreness
+    from fog_spark import graph as G
+
+    D = 100_000
+    e = spark.range(D).select(
+        F.lit(0).cast("long").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    got = {r["id"]: r["core"] for r in coreness(e).collect()}
+    assert got[0] == 1 and set(got.values()) == {1}
+    assert len(got) == D + 1
+    # replay round 1's histogram: degree estimates are D for the hub and
+    # 1 for every leaf, so the hub's histogram has exactly ONE row
+    sym = G.symmetrize(e)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("core"))
+    msgs = sym.join(deg, sym["src"] == deg["id"]).select(
+        "dst", F.col("core").alias("nc")
+    )
+    hub_hist_rows = (
+        msgs.groupBy("dst", "nc").count().where(F.col("dst") == 0).count()
+    )
+    assert hub_hist_rows == 1

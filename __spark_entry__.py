@@ -1126,10 +1126,15 @@ def _text_graph_dir(spark: SparkSession, sf_dir: str) -> str:
 
     key = ("textgraph", sf_dir)
     if key not in _STATE_CACHE:
+        from fog_spark.sources.fogbin import write_fog_binary
+
         d = tempfile.mkdtemp(prefix="fog_spark_textgraph_")
         e = _edges(spark, sf_dir).select("src", "dst")
         write_edgelist(e, f"{d}/edges")
         write_adjlist(e, f"{d}/adj")
+        # the converter's binary CSR layout (fixture-writer twin) —
+        # exercises the C5-analog binary ingest path alongside the text
+        write_fog_binary(e, f"{d}/fog", edge_type=2)
         _STATE_CACHE[key] = d
     return _STATE_CACHE[key]
 
@@ -1181,11 +1186,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     def text_scans(spark, sf):
-        # C1+C2 in one gate slot: SNAP edge-list AND "src n dst1..dstn"
-        # adjacency-list text ingest (write+read roundtrips of the same
-        # edge multiset the SQL oracle defines), tagged by format so both
-        # parse paths stay hash-checked
+        # C1+C2+C5(binary) in one gate slot: SNAP edge-list, "src n
+        # dst1..dstn" adjacency-list text ingest AND the converter's
+        # binary CSR (.desc/.index/.edge — 1-based offsets, unused slot
+        # 0) as write+read roundtrips of the same edge multiset the SQL
+        # oracle defines, tagged by format so all three parse paths stay
+        # hash-checked
         from fog_spark.sources.edgelist import read_adjlist, read_edgelist
+        from fog_spark.sources.fogbin import read_fog_graph
 
         d = _text_graph_dir(spark, sf)
         e = read_edgelist(spark, f"{d}/edges").select(
@@ -1194,7 +1202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a = read_adjlist(spark, f"{d}/adj").select(
             F.lit("adj").alias("fmt"), "src", "dst"
         )
-        return e.unionByName(a)
+        g = read_fog_graph(spark, f"{d}/fog.desc").select(
+            F.lit("fog").alias("fmt"), "src", "dst"
+        )
+        return e.unionByName(a).unionByName(g)
 
     def graph_stats(spark, sf):
         # .desc stats + the round-4 census columns (reciprocity + the
@@ -2138,7 +2149,8 @@ JOIN pt ON pt.doc_id = r.doc_id"""
     return {
         "text_scans": (
             f"SELECT 'edge' AS fmt, src, dst FROM ({EDGES}) "
-            f"UNION ALL SELECT 'adj' AS fmt, src, dst FROM ({EDGES})"
+            f"UNION ALL SELECT 'adj' AS fmt, src, dst FROM ({EDGES}) "
+            f"UNION ALL SELECT 'fog' AS fmt, src, dst FROM ({EDGES})"
         ),
         "graph_stats": f"""
 WITH e AS ({EDGES}), d AS (SELECT src, COUNT(*) AS c FROM e GROUP BY src),

@@ -80,7 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--algo", "-a", required=True, choices=ALGOS)
     p.add_argument("--edges", "-g", required=True,
                    help="edge table path (parquet dir, SNAP edge-list/adj-list text, or pages parquet)")
-    p.add_argument("--format", choices=("parquet", "edgelist", "adjlist", "pages", "warc", "warc-split"),
+    p.add_argument("--format", choices=("parquet", "edgelist", "adjlist", "fogbin", "pages", "warc", "warc-split"),
                    default="parquet")
     p.add_argument("--weighted", action="store_true",
                    help="edgelist only: parse a third weight column")
@@ -267,6 +267,11 @@ def load_edges(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
         e = read_edgelist(spark, args.edges, weighted=args.weighted)
     elif args.format == "adjlist":
         e = read_adjlist(spark, args.edges)
+    elif args.format == "fogbin":
+        # the converter's binary CSR bundle: --edges points at the .desc
+        from fog_spark.sources.fogbin import read_fog_graph
+
+        e = read_fog_graph(spark, args.edges)
     else:  # pages: extract outlinks from the html column (north-rule path)
         from fog_spark.functions.extract import edges_from_pages
 

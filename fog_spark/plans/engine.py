@@ -40,6 +40,13 @@ from fog_spark import graph as G
 from fog_spark.plans.checkpoint import make_checkpoint_store
 from fog_spark.plans.materialize import Materializer
 
+# lineage strip cap: per-strip message counts ride the checkpoint job as
+# observed metrics (one fixed-size conditional agg per strip, merged
+# driver-side) — on a 10^4-partition cluster, folding partitions into
+# <= 256 strips keeps the metric row and the codegen'd expression list
+# bounded while preserving FOG's per-strip granularity (E15)
+_LINEAGE_MAX_STRIPS = 256
+
 
 def scatter_join(active_state: DataFrame, adj: DataFrame) -> DataFrame:
     """The shared scatter join: state rows meet their (salted) adjacency
@@ -313,16 +320,21 @@ class ScatterGatherEngine:
                 resumed = (latest, meta)
 
         adj, hub_salts = self._prepare_adjacency(algo, edges)
-        # static per-partition edge counts (the lineage edge_count field —
-        # FOG's per-strip edge metric): one job, reused every iteration
+        # static per-strip edge counts (the lineage edge_count field —
+        # FOG's per-strip edge metric): one job, reused every iteration.
+        # strip = partition_id % n_strips; below the cap (always, in
+        # local mode) strips ARE partitions.
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        n_strips = min(nparts, _LINEAGE_MAX_STRIPS)
         adj_edge_counts: dict[int, int] = {}
         if self.collect_lineage:
-            adj_edge_counts = {
-                int(r["pid"]): int(r["ec"])
-                for r in adj.groupBy(F.spark_partition_id().alias("pid"))
+            for r in (
+                adj.groupBy(F.spark_partition_id().alias("pid"))
                 .agg(F.sum(F.size("dsts")).alias("ec"))
                 .collect()
-            }
+            ):
+                s = int(r["pid"]) % n_strips
+                adj_edge_counts[s] = adj_edge_counts.get(s, 0) + int(r["ec"])
         if vertices is None:
             vertices = G.vertex_ids(edges)
         else:
@@ -378,18 +390,24 @@ class ScatterGatherEngine:
             msgs = algo.messages(active, adj)
 
             total_msgs = 0
+            obs = None
             if self.collect_lineage:
-                # lineage measures SCATTER-side (map) partition counts —
-                # the strip metric FOG records and the one hub salting
-                # balances; cache msgs so the count and gather share one
-                # compute of the scatter join
-                msgs = msgs.persist()
-                parts = (
-                    msgs.groupBy(F.spark_partition_id().alias("pid"))
-                    .agg(F.count("*").alias("mc"))
-                    .collect()
-                )
-                total_msgs = sum(int(r["mc"]) for r in parts)
+                # lineage measures SCATTER-side (map) strip counts — the
+                # strip metric FOG records and the one hub salting
+                # balances. Observed metrics ride the checkpoint job's
+                # single pass over msgs (CollectMetricsExec accumulators,
+                # merged driver-side): no persist of an edge-sized frame,
+                # no second compute of the scatter join. Safe because
+                # every algo's gather consumes msgs exactly once.
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                strip = F.pmod(F.spark_partition_id(), F.lit(n_strips))
+                exprs = [F.count(F.lit(1)).alias("_mc_total")] + [
+                    F.count_if(strip == i).alias(f"_mc_{i}")
+                    for i in range(n_strips)
+                ]
+                msgs = msgs.observe(obs, *exprs)
 
             gathered = algo.gather(msgs)
             new_state = algo.apply(base, gathered.drop("_n_msgs"))
@@ -414,6 +432,17 @@ class ScatterGatherEngine:
             else:
                 new_state = self.mat.checkpoint(new_state)
             self.mat.free(prev_state)
+            parts: list[tuple[int, int]] = []
+            if self.collect_lineage:
+                # the checkpoint/write action above evaluated msgs, so
+                # the metrics are final; Observation.get does not block
+                vals = obs.get
+                total_msgs = int(vals["_mc_total"] or 0)
+                parts = [
+                    (i, int(vals[f"_mc_{i}"]))
+                    for i in range(n_strips)
+                    if vals[f"_mc_{i}"]
+                ]
             if algo.needs_stats:
                 stats = self._stats(new_state, algo)
                 algo.set_stats(stats)
@@ -436,14 +465,13 @@ class ScatterGatherEngine:
                         run_id,
                         algo.name,
                         it,
-                        int(r["pid"]),
-                        adj_edge_counts.get(int(r["pid"]), 0),
-                        int(r["mc"]),
+                        pid,
+                        adj_edge_counts.get(pid, 0),
+                        mc,
                         wall,
                     )
-                    for r in parts
+                    for pid, mc in parts
                 ])
-                msgs.unpersist()
 
             if durable and self.store is not None:
                 self._write_meta(algo, run_id, it, history, converged)

@@ -1898,7 +1898,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # payload bytes / 255, so their byte-sum is integer-exact and the
         # sha256-derived payload is reproducible in DuckDB -> hash-checked
         # (kind is xxhash64-derived, hence not part of the output).
-        from fog_spark.operators.multimodal import extract_features, synth_media
+        # Round 5 adds REAL audio under the same hash: synth_wav builds
+        # genuine 16-bit RIFF/WAV bytes from a deterministic PCM formula,
+        # wav_features must round-trip the container with the stdlib
+        # wave module, and the oracle recomputes peak/sum-of-squares/
+        # duration from the formula via generate_series — integer-exact.
+        from fog_spark.operators.multimodal import (
+            extract_features,
+            synth_media,
+            synth_wav,
+            wav_features,
+        )
 
         feats = extract_features(synth_media(spark, 200), fake=True)
         byte_sum = F.round(
@@ -1907,11 +1917,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             * 255.0
         ).cast("long")
+        wav = wav_features(synth_wav(spark, 200)).select(
+            "media_id",
+            F.col("n_samples").alias("wav_n_samples"),
+            F.col("duration_ms").alias("wav_duration_ms"),
+            F.col("peak").alias("wav_peak"),
+            F.col("sum_sq").alias("wav_sum_sq"),
+        )
         return feats.select(
             "media_id",
             F.col("n_bytes").cast("long").alias("n_bytes"),
             byte_sum.alias("feat_byte_sum"),
-        )
+        ).join(wav, "media_id")
 
     def event_daily_windows(spark, sf):
         # tumbling 1-day windows per event type — the batch twin of the
@@ -2486,10 +2503,22 @@ r AS (SELECT probe_id, neighbor_id,
 SELECT probe_id, neighbor_id, rank FROM r WHERE rank <= 5""",
         "media_features": """
 WITH m AS (SELECT range AS media_id, 'blob:' || sha256(CAST(range AS VARCHAR)) AS p
-           FROM range(200))
-SELECT media_id, CAST(length(p) AS BIGINT) AS n_bytes,
-  CAST(list_sum([ascii(substr(p, i, 1)) for i in range(1, 17)]) AS BIGINT) AS feat_byte_sum
-FROM m""",
+           FROM range(200)),
+-- audio oracle: replay synth_wav's PCM formula (16-bit mono, 512
+-- samples at 8000 Hz) and recompute the integer stats wav_features
+-- must extract by actually parsing the RIFF container
+pcm AS (SELECT m2.range AS media_id,
+               ((m2.range * 1000003 + i.range * 7919) % 65536) - 32768 AS s
+        FROM range(200) m2, range(512) i),
+wav AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS wav_n_samples,
+               CAST((COUNT(*) * 1000) // 8000 AS BIGINT) AS wav_duration_ms,
+               CAST(MAX(ABS(s)) AS BIGINT) AS wav_peak,
+               CAST(SUM(s * s) AS BIGINT) AS wav_sum_sq
+        FROM pcm GROUP BY media_id)
+SELECT m.media_id, CAST(length(p) AS BIGINT) AS n_bytes,
+  CAST(list_sum([ascii(substr(p, i, 1)) for i in range(1, 17)]) AS BIGINT) AS feat_byte_sum,
+  wav.wav_n_samples, wav.wav_duration_ms, wav.wav_peak, wav.wav_sum_sq
+FROM m JOIN wav ON m.media_id = wav.media_id""",
         "event_daily_windows": """
 SELECT CAST(ts AS DATE) AS day, event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -3,8 +3,13 @@ with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The image decode is REAL when Pillow is importable at call time
 (``pil_available``): payload -> PIL decode -> 4x4 grayscale thumbnail ->
-FEATURE_DIM floats. This container ships no Pillow (and no ffmpeg for
-audio/video), so with ``fake=True`` a deterministic hash-derived feature
+FEATURE_DIM floats. PCM audio decode is REAL unconditionally: RIFF/WAV
+parses with the stdlib ``wave`` module (no ffmpeg needed) into
+segment-RMS features (``_decode_real``) and integer-exact stats
+(``wav_features``); ``synth_wav`` builds genuine WAV payloads from a
+deterministic PCM formula so the whole path is hash-checkable
+cross-engine. Video decode still needs ffmpeg, which this container
+doesn't ship — with ``fake=True`` a deterministic hash-derived feature
 vector stands in, keeping the Spark-side contract — schema,
 partitioning, UDF signature, Arrow batch shape — real and tested; the
 PIL path itself is covered by a skip-marked pytest (a 1-pixel PNG
@@ -80,10 +85,50 @@ def pil_available() -> bool:
         return False
 
 
+def _pcm_samples(payload: bytes) -> tuple[np.ndarray, int]:
+    """(mono int32 samples, framerate) from RIFF/WAV bytes via the
+    stdlib ``wave`` module — PCM audio needs no ffmpeg. 8/16/32-bit
+    widths; multi-channel mixes down by integer mean."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit per the WAV spec
+        s = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    elif width == 2:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif width == 4:
+        s = np.frombuffer(raw, dtype="<i4").astype(np.int32)
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        s = s[: len(s) - len(s) % nch].reshape(-1, nch).mean(
+            axis=1, dtype=np.int64
+        ).astype(np.int32)
+    return s, rate
+
+
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     """Real decode: images via Pillow (4x4 grayscale thumbnail ->
     FEATURE_DIM floats in [0, 1], a deterministic perceptual sketch);
-    audio/video need ffmpeg and stay honestly unimplemented."""
+    PCM audio via the stdlib wave module (FEATURE_DIM segment-RMS
+    values in [0, 1] — the audio analog of the thumbnail); video needs
+    ffmpeg and stays honestly unimplemented."""
+    if kind == "audio":
+        s, _rate = _pcm_samples(payload)
+        full = 32768.0
+        if len(s) == 0:
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
+        segs = np.array_split(s.astype(np.float64), FEATURE_DIM)
+        return np.array(
+            [
+                np.sqrt(np.mean(seg * seg)) / full if len(seg) else 0.0
+                for seg in segs
+            ],
+            dtype=np.float32,
+        )
     if kind != "image":
         raise NotImplementedError(
             f"real decode for kind={kind!r} requires ffmpeg, not present "
@@ -135,6 +180,88 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, _FEATURE_SCHEMA)
+
+
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("framerate", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("peak", T.LongType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+    ]
+)
+
+
+def synth_wav(
+    spark, n: int = 64, n_samples: int = 512, framerate: int = 8000
+) -> DataFrame:
+    """(media_id, payload) — REAL 16-bit mono RIFF/WAV bytes built with
+    the stdlib ``wave`` writer from the deterministic PCM formula
+
+        sample_i(id) = ((id * 1000003 + i * 7919) mod 65536) - 32768
+
+    so a SQL oracle can recompute every integer stat from first
+    principles while Spark must actually round-trip the RIFF container.
+    Generation runs in a mapInPandas kernel (Arrow batches, numpy
+    vectorized PCM, one wave.open per row — bounded by batch size)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["id"]:
+                s = ((int(mid) * 1000003 + i * 7919) % 65536) - 32768
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(framerate)
+                    w.writeframes(s.astype("<i2").tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["id"], "payload": payloads})
+
+    parts = max(1, min(int(spark.sparkContext.defaultParallelism), n // 64))
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+
+
+def wav_features(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(media_id, framerate, n_samples, duration_ms, peak, sum_sq) —
+    integer-exact PCM stats parsed from RIFF/WAV payload bytes with the
+    stdlib ``wave`` module inside a mapInPandas kernel. Everything is
+    integer (peak = max |sample|, sum_sq = sum of squared samples,
+    duration_ms floors), so the output hash-checks against a SQL oracle
+    replaying the generator formula — the cross-engine proof that the
+    RIFF parse is correct. RMS and other float views derive downstream
+    (sqrt(sum_sq / n_samples))."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "framerate", "n_samples", "duration_ms",
+                     "peak", "sum_sq")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                s, rate = _pcm_samples(bytes(payload))
+                n = len(s)
+                rows["media_id"].append(int(mid))
+                rows["framerate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append((n * 1000) // rate if rate else 0)
+                rows["peak"].append(int(np.abs(s).max()) if n else 0)
+                rows["sum_sq"].append(
+                    int((s.astype(np.int64) ** 2).sum()) if n else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, WAV_FEATURE_SCHEMA)
 
 
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:

@@ -579,3 +579,79 @@ def test_real_image_decode_when_pil_available(spark):
     )
     rows = extract_features(media, fake=False).collect()
     assert len(rows) == 1 and abs(rows[0]["feature"][0] - 128 / 255.0) < 1e-6
+
+
+def test_wav_audio_decode_skip_free(spark):
+    """VERDICT r04 #7: PCM audio needs no ffmpeg — the stdlib wave
+    module parses RIFF/WAV. synth_wav builds real containers from the
+    deterministic PCM formula; wav_features must extract integer-exact
+    stats matching a numpy replay, and _decode_real('audio') yields
+    FEATURE_DIM segment-RMS values. Runs everywhere (no skip)."""
+    import numpy as np
+
+    from fog_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _decode_real,
+        extract_features,
+        synth_wav,
+        wav_features,
+    )
+
+    wav = synth_wav(spark, 8, n_samples=512, framerate=8000)
+    got = {r["media_id"]: r for r in wav_features(wav).collect()}
+    assert len(got) == 8
+    i = np.arange(512, dtype=np.int64)
+    for mid in range(8):
+        s = ((mid * 1000003 + i * 7919) % 65536) - 32768
+        r = got[mid]
+        assert r["n_samples"] == 512 and r["framerate"] == 8000
+        assert r["duration_ms"] == 64
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["sum_sq"] == int((s**2).sum())
+    # segment-RMS feature path through extract_features(fake=False)
+    payload = wav.where("media_id = 3").collect()[0]["payload"]
+    feat = _decode_real(bytes(payload), "audio")
+    assert feat.shape == (FEATURE_DIM,)
+    s3 = ((3 * 1000003 + i * 7919) % 65536) - 32768
+    seg0 = s3[: 512 // FEATURE_DIM].astype(float)
+    assert abs(feat[0] - np.sqrt((seg0**2).mean()) / 32768.0) < 1e-6
+    media = spark.createDataFrame(
+        [(3, "audio", bytearray(payload), None, None, 64)],
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+    rows = extract_features(media, fake=False).collect()
+    assert len(rows) == 1 and abs(rows[0]["feature"][0] - feat[0]) < 1e-6
+
+
+def test_wav_features_multichannel_and_widths(spark):
+    """The parser handles 8-bit unsigned and stereo mixdown — hand-built
+    WAVs, byte-exact expectations."""
+    import io
+    import wave as wv
+
+    import numpy as np
+
+    from fog_spark.operators.multimodal import wav_features
+
+    def build(nch, width, frames):
+        buf = io.BytesIO()
+        with wv.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(4000)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    # 8-bit unsigned mono: bytes 0,128,255 -> samples -128,0,127
+    w8 = build(1, 1, bytes([0, 128, 255]))
+    # 16-bit stereo: (100,-50),(3,5) -> mixdown means 25, 4
+    st = np.array([100, -50, 3, 5], dtype="<i2").tobytes()
+    w16 = build(2, 2, st)
+    media = spark.createDataFrame(
+        [(1, bytearray(w8)), (2, bytearray(w16))], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r for r in wav_features(media).collect()}
+    assert got[1]["n_samples"] == 3 and got[1]["peak"] == 128
+    assert got[1]["sum_sq"] == 128 * 128 + 0 + 127 * 127
+    assert got[2]["n_samples"] == 2 and got[2]["peak"] == 25
+    assert got[2]["sum_sq"] == 25 * 25 + 4 * 4

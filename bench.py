@@ -327,6 +327,60 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         n = random_walks(edges, walk_len=8, hash_fn="xxhash64").count()
         return {"walk_rows": int(n)}
 
+    def q_redirect_resolve():
+        # bounded pointer-doubled redirect resolution at bench scale
+        # (VERDICT r04 #8: gate evidence existed, wall evidence didn't):
+        # same functional-map shape as the gate slot — string ids, real
+        # chains AND cycles from the synthetic edge structure
+        from fog_spark.operators.redirects import resolve_redirects
+
+        m = edges.select(
+            F.col("src").cast("string").alias("url"),
+            F.col("dst").cast("string").alias("target"),
+        )
+        r = resolve_redirects(m, max_hops=16)
+        row = r.agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("resolved")).alias("ok"),
+            F.max("hops").alias("max_hops"),
+        ).collect()[0]
+        return {
+            "urls": int(row["n"]),
+            "resolved": int(row["ok"]),
+            "max_hops": int(row["max_hops"]),
+        }
+
+    def q_triangle_delta():
+        # incremental triangle delta at bench scale (VERDICT r04 #8),
+        # after the r05 shared-frame caching: old = 95%-ish subset via
+        # the same deterministic (src+dst)%19 split the gate slot uses
+        from fog_spark.algos.triangles import triangle_delta
+
+        old = edges.where((F.col("src") + F.col("dst")) % 19 != 0)
+        row = triangle_delta(old, edges).collect()[0]
+        return {
+            "n_added": int(row["n_added"]),
+            "tri_gained": int(row["tri_gained"]),
+            "delta": int(row["delta"]),
+        }
+
+    def q_scc():
+        # FW-BW SCC at bench scale (VERDICT r04 #9: the inherited-stats
+        # strip was motivated by SCC's backward fixpoint — prove it
+        # holds at 1M docs, not just sf0.01)
+        from fog_spark.algos import scc as scc_fn
+
+        walls: list = []
+        labels = scc_fn(edges, round_walls=walls)
+        row = labels.agg(
+            F.count("*").alias("n"), F.countDistinct("scc").alias("c")
+        ).collect()[0]
+        return {
+            "vertices": int(row["n"]),
+            "sccs": int(row["c"]),
+            "round_walls_sec": walls,
+        }
+
     def q_resume_check():
         # north-rule resume evidence at bench scale: run the milli
         # PageRank twin durably checkpointed for 2 iterations (the state
@@ -389,6 +443,9 @@ def build_queries(spark, sf_dir: str, n_docs: int, pr_iters: int = PR_ITERS):
         "lpa4": q_lpa4,
         "triangles": q_triangles,
         "walks8": q_walks8,
+        "scc": q_scc,
+        "triangle_delta": q_triangle_delta,
+        "redirect_resolve": q_redirect_resolve,
         "host_pagerank": q_host_pagerank,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -445,7 +502,16 @@ def run_bench(
     # DETERMINISTIC feature check (iters_saved, resume mismatches), not a
     # wall — their walls are dominated by fixed convergence ladders and
     # tripling them buys no comparability
-    no_median = {"pagerank_warm", "resume_check"}
+    no_median = {"pagerank_warm", "resume_check", "scc"}
+    # scc: its published signal is the SCC census + per-round walls of a
+    # fixed FW-BW ladder (~40 s at sf0.01 already); tripling the
+    # heaviest new query would double the whole suite's wall for a
+    # structure check whose walls are secondary evidence
+    # always median-of-3 regardless of wall: the ingest headline runs
+    # ~3-6 s where first-query JIT/codegen warmup dominates a single
+    # trial (VERDICT r04 #4: its single-trial wall drifted 3.27 -> 5.74 s
+    # round-over-round with everything around it getting faster)
+    force_median = {"extract_edges"}
     timings: dict[str, float] = {}
     steals: dict[str, float] = {}
     details: dict[str, dict] = {}
@@ -473,7 +539,11 @@ def run_bench(
             return best
 
         kept = [one_clean_attempt()]
-        if kept[0][1] > median_thresh and median_trials > 1 and name not in no_median:
+        if (
+            (kept[0][1] > median_thresh or name in force_median)
+            and median_trials > 1
+            and name not in no_median
+        ):
             for _ in range(median_trials - 1):
                 wait_quiet(steal_thresh)
                 kept.append(one_clean_attempt())

@@ -83,11 +83,16 @@ def scc(
     edges: DataFrame,
     max_rounds: int = 25,
     max_inner_iters: int = 200,
+    round_walls: list | None = None,
 ) -> DataFrame:
     """(id, scc) for every vertex; scc = min vertex id of its strongly
     connected component. Self-loops are irrelevant to SCC membership and
     dropped up front (matching the TARGET engine's skip,
-    /root/reference/fogsrc/cpu_thread.cpp:235-239)."""
+    /root/reference/fogsrc/cpu_thread.cpp:235-239). Pass a list as
+    ``round_walls`` to collect per-round wall seconds (the bench's
+    iteration-wall evidence)."""
+    import time as _time
+
     M = Materializer(edges.sparkSession)
     e0 = G.normalize_edges(edges).select("src", "dst")
     e = M.checkpoint(e0.where(F.col("src") != F.col("dst")).distinct())
@@ -97,6 +102,12 @@ def scc(
     assigned = verts.sparkSession.createDataFrame([], "id long, scc long")
 
     for _ in range(max_rounds):
+        _t0 = _time.monotonic()
+
+        def _lap():
+            if round_walls is not None:
+                round_walls.append(round(_time.monotonic() - _t0, 3))
+
         # ---- 1. trim: no in-edges or no out-edges => singleton SCC
         while True:
             srcs = e.select(F.col("src").alias("id")).distinct()
@@ -122,6 +133,7 @@ def scc(
         if verts.isEmpty():
             M.free(e)
             M.free(verts)
+            _lap()
             return assigned
 
         # ---- 2. forward min-color fixpoint
@@ -165,6 +177,7 @@ def scc(
         if verts.isEmpty():
             M.free(e)
             M.free(verts)
+            _lap()
             return assigned
         e = M.swap(
             e,
@@ -172,6 +185,7 @@ def scc(
                 verts.withColumnRenamed("id", "dst"), "dst"
             ).select("src", "dst"),
         )
+        _lap()
 
     # bounded exit: fabricating singleton labels here could split a real
     # SCC — fail loudly instead (every round removes at least each class

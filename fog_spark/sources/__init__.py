@@ -8,3 +8,8 @@ from fog_spark.sources.edgelist import (  # noqa: F401
     write_adjlist,
     write_edgelist,
 )
+from fog_spark.sources.fogbin import (  # noqa: F401
+    read_fog_desc,
+    read_fog_graph,
+    write_fog_binary,
+)

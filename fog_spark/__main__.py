@@ -268,10 +268,11 @@ def load_edges(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
     elif args.format == "adjlist":
         e = read_adjlist(spark, args.edges)
     elif args.format == "fogbin":
-        # the converter's binary CSR bundle: --edges points at the .desc
+        # the converter's binary CSR bundle: --edges points at the
+        # .desc; validate guards against silently-truncated binaries
         from fog_spark.sources.fogbin import read_fog_graph
 
-        e = read_fog_graph(spark, args.edges)
+        e = read_fog_graph(spark, args.edges, validate=True)
     else:  # pages: extract outlinks from the html column (north-rule path)
         from fog_spark.functions.extract import edges_from_pages
 

@@ -163,6 +163,7 @@ def ranked_out_edges(
     n_chunks: int = RANK_CHUNKS,
     hub_threshold: int = DEFAULT_HUB_CAP,
     sample_target: int = 65_536,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """``(src, dst, idx)`` — idx is the 0-based rank of the edge within
     src's out-edges ordered by ascending dst (multi-edge ties share a
@@ -189,9 +190,16 @@ def ranked_out_edges(
     walk corpora are byte-identical to the single-window build. Cost:
     one vertex-sized agg job + (hub path only) one bounded sample
     collect; paid once per build, reused every step.
+
+    ``deg``: optional precomputed out-degree frame with columns
+    ``(src, _deg)`` over the SAME edge multiset — the walk builders
+    compute (and persist) this anyway, so passing it here avoids a
+    second full-edge degree aggregation just for the maxdeg/edge-count
+    stats (review finding).
     """
     e = normalize_edges(edges).select("src", "dst")
-    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    if deg is None:
+        deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     stats = deg.agg(
         F.max("_deg").alias("m"), F.coalesce(F.sum("_deg"), F.lit(0)).alias("n")
     ).collect()[0]

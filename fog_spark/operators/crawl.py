@@ -332,19 +332,23 @@ def schedule_fetches(
     ] + [F.col(url_col).asc()]
     f = frontier
     if delays is not None:
-        # two-sided guard: a NULL, NaN or negative delay_s row falls
-        # through to the default (F.least alone would turn NULL into the
-        # MAX — skipping nulls — and pass negatives straight through;
-        # NaN >= 0 is TRUE under Spark's NaN-is-largest ordering, so
-        # 'Crawl-delay: NaN' needs its own guard or it clamps to the
-        # ceiling instead of defaulting)
+        # invalid rows (NULL, NaN, negative) are dropped BEFORE the
+        # per-host max: F.max orders NaN above every number, so one NaN
+        # row would otherwise mask a host's valid delay and drop it to
+        # the default (review finding) — filtering first keeps the
+        # largest VALID delay, and a host with only invalid rows simply
+        # falls through the left join to the default. The post-agg
+        # guard stays as belt-and-braces (F.least alone would turn NULL
+        # into the MAX — skipping nulls — and pass negatives through).
+        v = F.col("delay_s")
         ds = F.col("_ds")
         bounded = F.when(
             ds.isNotNull() & ~F.isnan(ds) & (ds >= 0),
             F.least(ds, F.lit(MAX_CRAWL_DELAY_S)),
         )
         d = (
-            delays.groupBy(F.col("host").alias("_dh"))
+            delays.where(v.isNotNull() & ~F.isnan(v) & (v >= 0))
+            .groupBy(F.col("host").alias("_dh"))
             .agg(F.max("delay_s").alias("_ds"))
             .select("_dh", F.round(bounded * 1000).cast("long").alias("_dms"))
         )

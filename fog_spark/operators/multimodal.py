@@ -85,10 +85,12 @@ def pil_available() -> bool:
         return False
 
 
-def _pcm_samples(payload: bytes) -> tuple[np.ndarray, int]:
-    """(mono int32 samples, framerate) from RIFF/WAV bytes via the
-    stdlib ``wave`` module — PCM audio needs no ffmpeg. 8/16/32-bit
-    widths; multi-channel mixes down by integer mean."""
+def _pcm_samples(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """(mono int32 samples, framerate, sample_width_bytes) from
+    RIFF/WAV bytes via the stdlib ``wave`` module — PCM audio needs no
+    ffmpeg. 8/16/32-bit widths; multi-channel mixes down by integer
+    mean. The width rides along so feature normalization uses the
+    ACTUAL full scale (2^(8*width-1)), not an assumed 16-bit one."""
     import io
     import wave
 
@@ -107,7 +109,7 @@ def _pcm_samples(payload: bytes) -> tuple[np.ndarray, int]:
         s = s[: len(s) - len(s) % nch].reshape(-1, nch).mean(
             axis=1, dtype=np.int64
         ).astype(np.int32)
-    return s, rate
+    return s, rate, width
 
 
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
@@ -117,8 +119,11 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     values in [0, 1] — the audio analog of the thumbnail); video needs
     ffmpeg and stays honestly unimplemented."""
     if kind == "audio":
-        s, _rate = _pcm_samples(payload)
-        full = 32768.0
+        s, _rate, width = _pcm_samples(payload)
+        # full scale follows the ACTUAL sample width (128 / 32768 /
+        # 2^31), keeping the documented [0, 1] range for 8- and 32-bit
+        # WAVs too (review finding)
+        full = float(1 << (8 * width - 1))
         if len(s) == 0:
             return np.zeros(FEATURE_DIM, dtype=np.float32)
         segs = np.array_split(s.astype(np.float64), FEATURE_DIM)
@@ -249,7 +254,7 @@ def wav_features(
                     ("media_id", "framerate", "n_samples", "duration_ms",
                      "peak", "sum_sq")}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                s, rate = _pcm_samples(bytes(payload))
+                s, rate, _width = _pcm_samples(bytes(payload))
                 n = len(s)
                 rows["media_id"].append(int(mid))
                 rows["framerate"].append(rate)

@@ -143,14 +143,20 @@ def node2vec_walks(
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     e = G.normalize_edges(edges).select("src", "dst")
-    deg = e.groupBy(F.col("src").alias("_gsrc")).agg(F.count("*").alias("_gdeg"))
+    # one persisted degree frame feeds the ranked-build stats, the
+    # deg(dst) join and the walk-state init (review finding; see
+    # operators/walks.py), freed after the state checkpoint below
+    deg0 = e.groupBy("src").agg(F.count("*").alias("_deg")).persist(_SER)
+    deg = deg0.select(
+        F.col("src").alias("_gsrc"), F.col("_deg").alias("_gdeg")
+    )
     # ranked out-edges carrying deg(dst) — see operators/walks.py for why
     # persist (not localCheckpoint) keeps the (src, idx) partitioning
     # visible so every step's pick join plans with no edge-side exchange.
     # graph.ranked_out_edges is hub-safe (range-chunked two-phase rank
     # past hub_threshold) with byte-identical idx either way.
     ranked = (
-        G.ranked_out_edges(e)
+        G.ranked_out_edges(e, deg=deg0)
         .select(
             F.col("src").alias("_rsrc"),
             F.col("dst").alias("_rdst"),
@@ -185,6 +191,7 @@ def node2vec_walks(
             "_cdeg",
         )
     )
+    deg0.unpersist()  # ranked + state are materialized; cache done
     snapshots = [state]
     for t in range(1, walk_len + 1):
         tr = state.withColumn(

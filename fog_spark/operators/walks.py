@@ -95,14 +95,21 @@ def random_walks(
     # built once and reused for every step. Unique column names
     # (_r*/_g*) because ranked/deg share lineage with e and the per-step
     # joins would otherwise be ambiguous self-joins.
-    deg = e.groupBy(F.col("src").alias("_gsrc")).agg(F.count("*").alias("_gdeg"))
+    # one persisted degree frame feeds the ranked-build stats, the
+    # ranked table's deg(dst) join and the walk-state init — one
+    # full-edge degree aggregation instead of three (review finding);
+    # freed right after the last of those materializes below
+    deg0 = e.groupBy("src").agg(F.count("*").alias("_deg")).persist(_SER)
+    deg = deg0.select(
+        F.col("src").alias("_gsrc"), F.col("_deg").alias("_gdeg")
+    )
     # persist (NOT localCheckpoint): an InMemoryTableScan keeps the
     # repartition's HashPartitioning visible to every step's planner, so
     # the ranked side joins with NO exchange; a localCheckpoint scan
     # reports UnknownPartitioning and would re-shuffle (or re-broadcast)
     # the full edge table once per step.
     ranked = (
-        G.ranked_out_edges(e)
+        G.ranked_out_edges(e, deg=deg0)
         .select(
             F.col("src").alias("_rsrc"),
             F.col("dst").alias("_rdst"),
@@ -129,6 +136,7 @@ def random_walks(
             "_cdeg",
         )
     )
+    deg0.unpersist()  # ranked + state are materialized; cache done
     snapshots = [state]  # step 0
     for t in range(1, walk_len + 1):
         h = _step_hash(hash_fn, t)

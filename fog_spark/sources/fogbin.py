@@ -273,11 +273,20 @@ def read_fog_graph(
     desc_path: str,
     in_edges: bool = False,
     records_per_chunk: int = 1 << 20,
+    validate: bool = False,
 ) -> DataFrame:
     """The converted graph back as an edge DataFrame: ``(src, dst)``
     (type2) or ``(src, dst, weight)`` (type1); ``in_edges=True`` reads
     the ``.in-index`` / ``.in-edge`` CSR instead (same (src, dst) edge
-    multiset, grouped by dst on disk — types.hpp:27-33)."""
+    multiset, grouped by dst on disk — types.hpp:27-33).
+
+    ``validate=True`` counts the assembled frame against the ``.desc``
+    edge count and raises on mismatch — a truncated ``.edge``/``.index``
+    file otherwise short-reads SILENTLY (the range kernels yield fewer
+    records and an index-less bucket drops its edges), which every
+    downstream algorithm would happily compute on. Costs one full
+    decode pass up front, so it is opt-in: flip it on for ingest of
+    files you did not just write (the CLI does)."""
     if not desc_path.endswith(".desc"):
         raise ValueError(f"expected a .desc path, got {desc_path!r}")
     d = read_fog_desc(desc_path)
@@ -295,17 +304,27 @@ def read_fog_graph(
         # in-edge CSR: index key is the DESTINATION, record value the
         # source — flip back to (src, dst)
         assigned = _assign_src(recs, idx, records_per_chunk, weighted=False)
-        return assigned.select(
+        out = assigned.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
-    et = int(d["edge_type"])
-    idx = read_fog_index(
-        spark, prefix + ".index", d["max_vertex_id"], records_per_chunk
-    )
-    recs = read_fog_edge_records(
-        spark, prefix + ".edge", n, et, records_per_chunk
-    )
-    return _assign_src(recs, idx, records_per_chunk, weighted=et == 1)
+    else:
+        et = int(d["edge_type"])
+        idx = read_fog_index(
+            spark, prefix + ".index", d["max_vertex_id"], records_per_chunk
+        )
+        recs = read_fog_edge_records(
+            spark, prefix + ".edge", n, et, records_per_chunk
+        )
+        out = _assign_src(recs, idx, records_per_chunk, weighted=et == 1)
+    if validate:
+        got = out.count()
+        if got != n:
+            raise ValueError(
+                f"{desc_path}: decoded {got} edges but .desc declares "
+                f"{n} — truncated or corrupt "
+                f"{'.in-edge/.in-index' if in_edges else '.edge/.index'} file"
+            )
+    return out
 
 
 # ---------------------------------------------------------------- writer

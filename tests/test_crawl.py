@@ -327,3 +327,16 @@ def test_schedule_fetches_hostile_delay_and_keep_cols(spark):
         for r in schedule_fetches(frontier, nan, default_delay_s=1.0).collect()
     }
     assert got_nan["https://evil.test/b"] == 1000
+    # a NaN row must not MASK a valid one through the per-host max
+    # (Spark orders NaN above every number): the host keeps its largest
+    # VALID delay, not the default (review finding)
+    mixed = spark.createDataFrame(
+        [("evil.test", 30.0), ("evil.test", float("nan")),
+         ("evil.test", -4.0)],
+        "host string, delay_s double",
+    )
+    got_mixed = {
+        r["url"]: r["fetch_offset_ms"]
+        for r in schedule_fetches(frontier, mixed, default_delay_s=1.0).collect()
+    }
+    assert got_mixed["https://evil.test/b"] == 30_000

@@ -134,3 +134,24 @@ def test_cli_fogbin_format(spark, tmp_path):
         spark=spark,
     ) == 0
     assert spark.read.parquet(str(out)).count() == 3
+
+
+def test_validate_catches_truncation(spark, tmp_path):
+    """A truncated .edge file short-reads SILENTLY by design (range
+    kernels yield what exists); validate=True must convert that into a
+    loud error against the .desc edge count (review finding)."""
+    import os
+
+    df = make_edges_df(spark, [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0)])
+    desc = write_fog_binary(df, str(tmp_path / "v"), edge_type=2, buffer_len=2)
+    # healthy file validates clean
+    assert read_fog_graph(spark, desc, validate=True).count() == 5
+    # chop the tail off .edge (slot 0 + first 2 records survive)
+    edge_path = desc[: -len(".desc")] + ".edge"
+    data = open(edge_path, "rb").read()
+    with open(edge_path, "wb") as f:
+        f.write(data[: 3 * 4])
+    with pytest.raises(ValueError, match="declares 5"):
+        read_fog_graph(spark, desc, validate=True)
+    # default stays lazy/silent (documented)
+    assert read_fog_graph(spark, desc).count() < 5

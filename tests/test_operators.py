@@ -655,3 +655,13 @@ def test_wav_features_multichannel_and_widths(spark):
     assert got[1]["sum_sq"] == 128 * 128 + 0 + 127 * 127
     assert got[2]["n_samples"] == 2 and got[2]["peak"] == 25
     assert got[2]["sum_sq"] == 25 * 25 + 4 * 4
+    # feature normalization follows the ACTUAL width (review finding):
+    # an 8-bit full-scale sample must yield features near 1.0, not
+    # ~0.004 under an assumed 16-bit scale
+    from fog_spark.operators.multimodal import _decode_real
+
+    feat8 = _decode_real(build(1, 1, bytes([0] * 64)), "audio")  # all -128
+    assert abs(float(feat8[0]) - 1.0) < 1e-6
+    s32 = np.array([2**31 - 1, -(2**31)], dtype="<i4").tobytes()
+    feat32 = _decode_real(build(1, 4, s32), "audio")
+    assert float(max(feat32)) <= 1.0 + 1e-6
